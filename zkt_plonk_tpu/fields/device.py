@@ -1,0 +1,280 @@
+"""Vectorized prime-field arithmetic on limb arrays (the TPU path).
+
+All functions operate on ``uint32[..., L]`` arrays of 16-bit limbs in
+canonical form (see ``fields/limbs.py``) and are pure jax — usable inside
+``jit``, ``shard_map`` and Pallas kernels alike.
+
+Multiplication is word-aligned **Barrett**: three outer-product multiplies
+(a*b, hi*mu, qhat*p), each reduced to columns by an antidiagonal "skew sum"
+(a single pad+reshape+sum — no sequential word recurrence and no
+data-dependent control flow).  Compared to Montgomery REDC this trades
+~1.5x the raw 16x16 multiplies for a fully parallel dataflow, which is the
+right trade on the VPU/MXU; it also keeps elements canonical so there is no
+Montgomery encode/decode at any host<->device boundary.
+
+Replaces arkworks ``ark-ff`` (+``asm``) of the reference
+(``plonk-core/Cargo.toml:65``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import LIMB_BITS, LIMB_MASK, FieldSpec
+
+U32 = jnp.uint32
+MASK = np.uint32(LIMB_MASK)
+
+
+# ---------------------------------------------------------------------------
+# low-level helpers
+# ---------------------------------------------------------------------------
+
+
+def _carry_propagate(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Resolve deferred carries: uint32 columns -> normalized 16-bit limbs."""
+    outs = []
+    carry = jnp.zeros(cols.shape[:-1], dtype=U32)
+    k_max = cols.shape[-1]
+    for k in range(out_len):
+        c = (cols[..., k] if k < k_max else 0) + carry
+        outs.append(c & MASK)
+        carry = c >> LIMB_BITS
+    return jnp.stack(outs, axis=-1)
+
+
+def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(a - b) limbwise with borrow chain. Returns (diff, final_borrow)."""
+    outs = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
+    for k in range(a.shape[-1]):
+        d = a[..., k] + np.uint32(1 << LIMB_BITS) - b[..., k] - borrow
+        outs.append(d & MASK)
+        borrow = np.uint32(1) - (d >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _skew_columns(p: jnp.ndarray, ncols: int) -> jnp.ndarray:
+    """Antidiagonal sums of a (..., R, C) tensor: out[k] = Σ_{i+j=k} p[i, j].
+
+    Implemented with one pad + reshape so rows are skewed by their index,
+    then a sum over the row axis — no gathers, fully fusible.
+    """
+    *batch, R, C = p.shape
+    W = C + R - 1
+    padded = jnp.pad(p, [(0, 0)] * len(batch) + [(0, 0), (0, W + 1 - C)])
+    flat = padded.reshape(*batch, R * (W + 1))
+    skewed = flat[..., : R * W].reshape(*batch, R, W)
+    out = jnp.sum(skewed, axis=-2, dtype=U32)
+    if ncols > W:
+        out = jnp.pad(out, [(0, 0)] * len(batch) + [(0, ncols - W)])
+    return out[..., :ncols]
+
+
+def _mul_columns(a: jnp.ndarray, b: jnp.ndarray, ncols: int) -> jnp.ndarray:
+    """Column sums of the full product of two limb vectors (carry-deferred).
+
+    a: (..., La), b: (..., Lb) -> (..., ncols) uint32 columns, each
+    < (La+Lb) * 2^16 « 2^32.
+    """
+    prod = a[..., :, None] * b[..., None, :]  # (..., La, Lb), exact 16x16->32
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    cols_lo = _skew_columns(lo, ncols)
+    cols_hi = _skew_columns(hi, ncols - 1)
+    pad = [(0, 0)] * (cols_hi.ndim - 1)
+    return cols_lo + jnp.pad(cols_hi, pad + [(1, 0)])
+
+
+def _modulus_arr(spec: FieldSpec) -> jnp.ndarray:
+    return jnp.asarray(spec.modulus_limbs, dtype=U32)
+
+
+def _cond_sub(spec: FieldSpec, limbs: jnp.ndarray) -> jnp.ndarray:
+    """One conditional subtract of p on an L-or-more-limb value."""
+    L = spec.n_limbs
+    p = _modulus_arr(spec)
+    if limbs.shape[-1] > L:
+        p = jnp.pad(p, (0, limbs.shape[-1] - L))
+    p = jnp.broadcast_to(p, limbs.shape)
+    diff, borrow = _sub_with_borrow(limbs, p)
+    return jnp.where((borrow == 0)[..., None], diff, limbs)
+
+
+# ---------------------------------------------------------------------------
+# add / sub / neg / predicates
+# ---------------------------------------------------------------------------
+
+
+def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    s = _carry_propagate(a + b, spec.n_limbs + 1)
+    return _cond_sub(spec, s)[..., : spec.n_limbs]
+
+
+def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d, borrow = _sub_with_borrow(a, b)
+    fixed = _carry_propagate(d + _modulus_arr(spec), spec.n_limbs)
+    return jnp.where((borrow > 0)[..., None], fixed, d)
+
+
+def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return sub(spec, jnp.zeros_like(a), a)
+
+
+def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return add(spec, a, a)
+
+
+def is_zero(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == 0, axis=-1)
+
+
+def equal(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """cond ? a : b, with cond shaped like a[..., 0] (no limb axis)."""
+    return jnp.where(cond[..., None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# multiplication (word-aligned Barrett)
+# ---------------------------------------------------------------------------
+
+
+def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a * b mod p for canonical inputs (< p)."""
+    L = spec.n_limbs
+    a, b = jnp.broadcast_arrays(a, b)
+
+    # t = a*b, fully carried: 2L limbs
+    t = _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L)
+
+    # qhat = floor( floor(t / β^(L-1)) * mu / β^(L+1) ),  q - 2 <= qhat <= q
+    t_hi = t[..., L - 1 :]  # (L+1) limbs
+    mu = jnp.asarray(spec.mu_limbs, U32)  # (L+1) limbs
+    prod2 = _carry_propagate(_mul_columns(t_hi, mu, 2 * L + 2), 2 * L + 2)
+    qhat = prod2[..., L + 1 : 2 * L + 1]  # L limbs (qhat <= q < β^L)
+
+    # r = t - qhat * p  (mod β^(L+1); r < 3p fits and is non-negative)
+    qp = _carry_propagate(_mul_columns(qhat, _modulus_arr(spec), L + 1), L + 1)
+    r, _ = _sub_with_borrow(t[..., : L + 1], qp)
+
+    r = _cond_sub(spec, r)
+    r = _cond_sub(spec, r)
+    return r[..., :L]
+
+
+def sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return mul(spec, a, a)
+
+
+def one(spec: FieldSpec, shape=()) -> jnp.ndarray:
+    return jnp.broadcast_to(
+        jnp.zeros(spec.n_limbs, U32).at[0].set(1), (*shape, spec.n_limbs)
+    )
+
+
+def zeros(spec: FieldSpec, shape=()) -> jnp.ndarray:
+    return jnp.zeros((*shape, spec.n_limbs), U32)
+
+
+def constant(spec: FieldSpec, value: int, shape=()) -> jnp.ndarray:
+    from .limbs import int_to_limbs
+
+    arr = jnp.asarray(int_to_limbs(value % spec.modulus, spec.n_limbs), U32)
+    return jnp.broadcast_to(arr, (*shape, spec.n_limbs))
+
+
+# ---------------------------------------------------------------------------
+# exponentiation / inversion
+# ---------------------------------------------------------------------------
+
+
+def pow_const(spec: FieldSpec, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """a^exponent for a *static* non-negative exponent (square & multiply).
+
+    ``fori_loop`` over exponent bits (MSB first) keeps the traced graph
+    small regardless of exponent size.
+    """
+    if exponent == 0:
+        return one(spec, a.shape[:-1])
+    nbits = exponent.bit_length()
+    bits = np.asarray(
+        [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32
+    )
+    bits_arr = jnp.asarray(bits)
+
+    def body(i, acc):
+        acc = mul(spec, acc, acc)
+        with_mul = mul(spec, acc, a)
+        return jnp.where(bits_arr[i] > 0, with_mul, acc)
+
+    init = one(spec, a.shape[:-1])
+    return jax.lax.fori_loop(0, nbits, body, init)
+
+
+def inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Fermat inversion a^(p-2); maps 0 -> 0."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+def prefix_products(spec: FieldSpec, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Inclusive prefix products along ``axis`` (Hillis-Steele, log2 n muls).
+
+    Written with rolls + masked selects instead of ``associative_scan`` —
+    measured to compile an order of magnitude faster on XLA while doing the
+    same work.  This is the device replacement for the *sequential* grand
+    product accumulations of the reference (``permutation/mod.rs:246-254``,
+    ``lookup/mod.rs:76-83``).
+    """
+    n = x.shape[axis]
+    y = x
+    d = 1
+    idx_shape = [1] * x.ndim
+    idx_shape[axis] = n
+    idx = jnp.arange(n).reshape(idx_shape)
+    while d < n:
+        shifted = jnp.roll(y, d, axis=axis)
+        prod = mul(spec, y, shifted)
+        y = jnp.where(idx >= d, prod, y)
+        d <<= 1
+    return y
+
+
+def batch_inverse(spec: FieldSpec, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Montgomery-trick batch inversion along ``axis`` (zeros map to zero).
+
+    inv_i = (prod of all)^{-1} * prefix_excl_i * suffix_excl_i using two
+    log-depth scans and a single Fermat inversion.
+    """
+    zero_mask = is_zero(spec, x)
+    safe = jnp.where(zero_mask[..., None], one(spec, x.shape[:-1]), x)
+
+    incl_pre = prefix_products(spec, safe, axis=axis)
+    incl_suf = jnp.flip(
+        prefix_products(spec, jnp.flip(safe, axis=axis), axis=axis), axis=axis
+    )
+
+    n = x.shape[axis]
+    total = jax.lax.index_in_dim(incl_pre, n - 1, axis=axis, keepdims=False)
+    total_inv = inv(spec, total)
+
+    ones_row = one(spec, ())
+    pre_excl = _set_index(jnp.roll(incl_pre, 1, axis=axis), 0, ones_row, axis)
+    suf_excl = _set_index(jnp.roll(incl_suf, -1, axis=axis), n - 1, ones_row, axis)
+
+    out = mul(spec, mul(spec, pre_excl, suf_excl), jnp.expand_dims(total_inv, axis))
+    return jnp.where(zero_mask[..., None], jnp.zeros_like(x), out)
+
+
+def _set_index(arr, idx, value, axis):
+    slicer = [slice(None)] * arr.ndim
+    slicer[axis] = idx
+    return arr.at[tuple(slicer)].set(value)

@@ -1,0 +1,124 @@
+"""Radix-2 evaluation domains (host-side metadata + twiddle tables).
+
+Equivalent of ark-poly ``Radix2EvaluationDomain`` usage in the reference
+(``plonk-core/src/util.rs:63-140``): sizes are powers of two, the group
+generator follows the arkworks convention (``fields/params.py``), and the
+coset offset is the field's multiplicative GENERATOR (like arkworks'
+``coset_fft``).
+
+The twiddle tables are precomputed host-side once per (field, size) and live
+on device as Montgomery limb arrays consumed by ``ops/ntt.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List
+
+import numpy as np
+
+from ..fields.limbs import FieldSpec, make_spec, ints_to_array
+from ..fields.params import FieldParams
+
+
+@dataclass(frozen=True, eq=False)
+class Domain:
+    spec: FieldSpec
+    size: int
+    log_size: int
+    group_gen: int  # omega, order == size
+    group_gen_inv: int
+    size_inv: int  # 1/n mod p
+    coset_gen: int  # multiplicative generator g for coset FFTs
+    coset_gen_inv: int
+
+    @property
+    def modulus(self) -> int:
+        return self.spec.modulus
+
+    def element(self, i: int) -> int:
+        return pow(self.group_gen, i, self.modulus)
+
+    def elements(self) -> List[int]:
+        p = self.modulus
+        out = [1]
+        for _ in range(self.size - 1):
+            out.append(out[-1] * self.group_gen % p)
+        return out
+
+    def evaluate_vanishing(self, x: int) -> int:
+        """zh(x) = x^n - 1."""
+        return (pow(x, self.size, self.modulus) - 1) % self.modulus
+
+    # -- twiddle tables (Montgomery limb arrays) ---------------------------
+
+    def stage_twiddles(self, inverse: bool = False) -> List[np.ndarray]:
+        """Per-stage twiddle arrays for the iterative DIT NTT.
+
+        Stage s (s = 1..log_n) has block size m = 2^s and needs
+        w_m^j for j in [0, m/2), where w_m = omega^(n/m).
+        """
+        return _stage_twiddles_cached(self, inverse)
+
+    def bit_reversal_perm(self) -> np.ndarray:
+        return _bitrev_cached(self.log_size)
+
+    def powers_array(self, base: int, count: int) -> np.ndarray:
+        """Limb array of [1, base, base^2, ...]."""
+        p = self.modulus
+        vals = [1] * count
+        for i in range(1, count):
+            vals[i] = vals[i - 1] * base % p
+        return ints_to_array(vals, self.spec.n_limbs)
+
+
+@lru_cache(maxsize=64)
+def _bitrev_cached(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev.astype(np.int32)
+
+
+_twiddle_cache = {}
+
+
+def _stage_twiddles_cached(domain: Domain, inverse: bool):
+    key = (domain.spec.params.name, domain.log_size, inverse)
+    if key in _twiddle_cache:
+        return _twiddle_cache[key]
+    p = domain.modulus
+    root = domain.group_gen_inv if inverse else domain.group_gen
+    out = []
+    for s in range(1, domain.log_size + 1):
+        m = 1 << s
+        wm = pow(root, domain.size // m, p)
+        vals = [1] * (m // 2)
+        for j in range(1, m // 2):
+            vals[j] = vals[j - 1] * wm % p
+        out.append(ints_to_array(vals, domain.spec.n_limbs))
+    _twiddle_cache[key] = out
+    return out
+
+
+@lru_cache(maxsize=None)
+def make_domain(params: FieldParams, size: int) -> Domain:
+    assert size >= 1 and (size & (size - 1)) == 0, "domain size must be a power of two"
+    log_size = size.bit_length() - 1
+    assert log_size <= params.two_adicity, "field lacks required two-adicity"
+    p = params.modulus
+    omega = params.root_of_unity(log_size)
+    g = params.generator
+    return Domain(
+        spec=make_spec(params),
+        size=size,
+        log_size=log_size,
+        group_gen=omega,
+        group_gen_inv=pow(omega, -1, p) if size > 1 else 1,
+        size_inv=pow(size, -1, p),
+        coset_gen=g,
+        coset_gen_inv=pow(g, -1, p),
+    )
