@@ -84,7 +84,7 @@ def evaluate_poly(domain_spec: FieldSpec, coeffs: jnp.ndarray, point: jnp.ndarra
     n = coeffs.shape[-2]
 
     def body(i, acc):
-        c = jax.lax.index_in_dim(coeffs, n - 1 - i, axis=-2, keepdims=False)
+        c = jax.lax.dynamic_index_in_dim(coeffs, n - 1 - i, axis=-2, keepdims=False)
         return fd.add(domain_spec, fd.mul(domain_spec, acc, point), c)
 
     init = fd.zeros(domain_spec, coeffs.shape[:-2])
