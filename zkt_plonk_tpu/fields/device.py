@@ -36,27 +36,71 @@ MASK = np.uint32(LIMB_MASK)
 # ---------------------------------------------------------------------------
 
 
+def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Shift limbs toward higher indices by d, filling with zeros."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
+
+
+def _ks_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Kogge-Stone parallel-prefix carry resolution.
+
+    g: per-position generate (0/1), p: per-position propagate (0/1).
+    Returns the *exclusive* incoming carry at each position — log2(L) dense
+    steps instead of an L-deep sequential ripple (the ripple formulation
+    made XLA compile times blow up and serialized the VPU).
+    """
+    n = g.shape[-1]
+    d = 1
+    while d < n:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d <<= 1
+    return _shift_up(g, 1)
+
+
 def _carry_propagate(cols: jnp.ndarray, out_len: int) -> jnp.ndarray:
-    """Resolve deferred carries: uint32 columns -> normalized 16-bit limbs."""
-    outs = []
-    carry = jnp.zeros(cols.shape[:-1], dtype=U32)
-    k_max = cols.shape[-1]
-    for k in range(out_len):
-        c = (cols[..., k] if k < k_max else 0) + carry
-        outs.append(c & MASK)
-        carry = c >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    """Resolve deferred carries: uint32 columns (< 2^22) -> 16-bit limbs.
+
+    Two local split passes bring every limb into [0, 2^16]; a Kogge-Stone
+    prefix then resolves the remaining 0/1 ripple carries exactly.
+    """
+    k = cols.shape[-1]
+    if k < out_len:
+        cols = jnp.pad(cols, [(0, 0)] * (cols.ndim - 1) + [(0, out_len - k)])
+    else:
+        cols = cols[..., :out_len]
+
+    s = (cols & MASK) + _shift_up(cols >> LIMB_BITS, 1)
+    s = (s & MASK) + _shift_up(s >> LIMB_BITS, 1)  # now s <= 2^16
+    g = s >> LIMB_BITS  # 0/1 generate
+    limb = s & MASK
+    p = (limb == MASK).astype(U32)
+    carry_in = _ks_carries(g, p)
+    return (limb + carry_in) & MASK
 
 
 def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(a - b) limbwise with borrow chain. Returns (diff, final_borrow)."""
-    outs = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
-    for k in range(a.shape[-1]):
-        d = a[..., k] + np.uint32(1 << LIMB_BITS) - b[..., k] - borrow
-        outs.append(d & MASK)
-        borrow = np.uint32(1) - (d >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+    """(a - b) limbwise with Kogge-Stone borrow resolution.
+
+    Returns (diff, final_borrow with 1 meaning a < b).
+    """
+    t = a + np.uint32(1 << LIMB_BITS) - b  # in [1, 2^17)
+    limb = t & MASK
+    g = np.uint32(1) - (t >> LIMB_BITS)  # borrow generate
+    p = (limb == 0).astype(U32)  # borrow propagate
+    n = a.shape[-1]
+    # inclusive borrow-out at every position (for the final borrow), then
+    # exclusive borrows for the limb corrections
+    gg, pp = g, p
+    d = 1
+    while d < n:
+        gg = gg | (pp & _shift_up(gg, d))
+        pp = pp & _shift_up(pp, d)
+        d <<= 1
+    borrow_in = _shift_up(gg, 1)
+    diff = (limb + np.uint32(1 << LIMB_BITS) - borrow_in) & MASK
+    return diff, gg[..., n - 1]
 
 
 def _skew_columns(p: jnp.ndarray, ncols: int) -> jnp.ndarray:
