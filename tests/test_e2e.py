@@ -1,0 +1,78 @@
+"""End-to-end compile/prove/verify — the reference's TestCircuit
+(``plonk-core/src/plonk.rs:146-218``):
+
+  1) a + b = c
+  2) d = a * c, d is a PI
+  3) if (e) { f = a } else { f = b }, f is a PI
+  4) c exists in the lookup table
+"""
+
+import random
+
+import pytest
+
+from zkt_plonk_tpu.commitment import kzg
+from zkt_plonk_tpu.cs import LookupTable, lt
+from zkt_plonk_tpu.curves import make_context
+from zkt_plonk_tpu.plonk import ZKTPlonk
+from zkt_plonk_tpu.proof_system.proof import VerificationError
+
+
+class TestCircuitDef:
+    __test__ = False
+
+    def __init__(self, a=2, b=3, d=10, e=True):
+        self.a, self.b, self.d, self.e = a, b, d, e
+
+    def synthesize(self, cs):
+        a = cs.assign_variable(self.a)
+        b = cs.assign_variable(self.b)
+        c = cs.add_gate(lt(a), lt(b))
+        sels = cs.sels().with_mul(-1)
+        cs.arith_constrain(a, c, -1, sels, pi=self.d)  # -1 == ZERO wire
+        e = cs.assign_variable(int(self.e))
+        eb = cs.boolean_gate(e)
+        f = cs.conditional_select(eb, lt(a), lt(b))
+        cs.set_variable_public(lt(f))
+        cs.lookup_constrain(lt(c))
+
+
+@pytest.fixture(scope="module")
+def srs():
+    ctx = make_context("bn254")
+    # enough for circuit_bound (128) * 4
+    ck, cvk = kzg.setup(ctx, max_degree=1 << 10, tau=987654321)
+    return ck, cvk
+
+
+def test_full_prove_verify(srs):
+    ck, cvk = srs
+    table = LookupTable([1, 2, 5], size=100)
+    instance = ZKTPlonk(curve="bn254", table=table)
+
+    compiled = instance.compile(TestCircuitDef(), ck, cvk)
+    assert compiled.vk.n == 128
+
+    rng = random.Random(7)
+    proof = instance.prove(compiled, TestCircuitDef(a=2, b=3, d=10, e=True), rng)
+
+    # PI order: positions ascending -> [d, f] = [10, 2]
+    instance.verify(compiled, proof, [10, 2])
+
+    # wrong public input must fail
+    with pytest.raises((VerificationError, AssertionError)):
+        instance.verify(compiled, proof, [11, 2])
+
+
+def test_tampered_proof_fails(srs):
+    ck, cvk = srs
+    table = LookupTable([1, 2, 5], size=100)
+    instance = ZKTPlonk(curve="bn254", table=table)
+    compiled = instance.compile(TestCircuitDef(), ck, cvk)
+    rng = random.Random(8)
+    proof = instance.prove(compiled, TestCircuitDef(a=2, b=3, d=10, e=True), rng)
+
+    # tamper with an evaluation
+    proof.evaluations.a = (proof.evaluations.a + 1) % instance.p
+    with pytest.raises(VerificationError):
+        instance.verify(compiled, proof, [10, 2])

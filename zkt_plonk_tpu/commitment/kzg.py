@@ -1,0 +1,186 @@
+"""KZG10 polynomial commitment scheme — device commits, host checks.
+
+Role-equivalent of the reference's ``KZG10 = SonicKZG10`` instantiation
+(``plonk-core/src/commitment.rs:24-46``):
+
+* ``setup``/``trim``: SRS powers [tau^i]G1 generated ON DEVICE with a
+  fixed-base windowed MSM (``ops/msm.fixed_base_msm``) — the host only
+  computes the scalar powers;
+* ``commit``: variable-base Pippenger MSM on device (``ops/msm.msm``);
+* ``open``: eta-powers aggregation + synthetic division by (X - xi), both
+  as O(n) device ops (the division via a suffix-sum scan, not a sequential
+  Horner recurrence);
+* ``check``: host-side pairing equation (O(1) work).
+
+Proof/commitment points cross to the host as affine coordinates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import curve_host as ch, pairing as pairing_mod
+from ..curves.context import CurveCtx
+from ..fields import device as fd
+from ..fields.limbs import ints_to_array
+from ..ops import ec, msm
+
+
+@dataclass(eq=False)
+class CommitterKey:
+    """SRS G1 powers on device: (N, 3, L) projective, plus curve constants."""
+
+    ctx: CurveCtx
+    powers: jnp.ndarray  # (N, 3, L)
+    b3: jnp.ndarray
+
+    @property
+    def max_degree(self) -> int:
+        return self.powers.shape[0] - 1
+
+
+@dataclass(eq=False)
+class VerifierKeyKZG:
+    """Host-side verification elements."""
+
+    ctx: CurveCtx
+    g1: Tuple  # G1 generator (affine host)
+    g2: Tuple  # G2 generator
+    tau_g2: Tuple  # [tau] G2
+
+
+def setup(
+    ctx: CurveCtx, max_degree: int, tau: Optional[int] = None, rng=None
+) -> Tuple[CommitterKey, VerifierKeyKZG]:
+    """Generate a (testing) SRS.  ``tau`` is sampled if not given.
+
+    Production deployments load an externally ceremonies SRS instead —
+    see ``load_srs``.
+    """
+    r = ctx.curve.fr.modulus
+    if tau is None:
+        import secrets
+
+        tau = (rng.randrange(r) if rng is not None else secrets.randbelow(r)) or 1
+
+    # host: scalar powers; device: fixed-base MSM to materialize [tau^i]G1
+    powers_int = [1] * (max_degree + 1)
+    for i in range(1, max_degree + 1):
+        powers_int[i] = powers_int[i - 1] * tau % r
+
+    fr_spec = ctx.fr_spec
+    fq_spec = ctx.fq_spec
+    b3 = ec.b3_const(fq_spec, ctx.curve.b)
+    tables = jnp.asarray(msm.fixed_base_tables(ctx, ctx.g1, c=8))
+    scalars = jnp.asarray(ints_to_array(powers_int, fr_spec.n_limbs))
+    powers = _jit_fixed_base(fq_spec, b3, tables, scalars, r.bit_length())
+
+    ck = CommitterKey(ctx=ctx, powers=powers, b3=b3)
+    cvk = VerifierKeyKZG(
+        ctx=ctx,
+        g1=ctx.g1,
+        g2=ctx.g2,
+        tau_g2=ch.scalar_mul(ctx.g2, tau),
+    )
+    return ck, cvk
+
+
+def _jit_fixed_base(fq_spec, b3, tables, scalars, fr_bits):
+    f = jax.jit(
+        lambda t, s: msm.fixed_base_msm(fq_spec, b3, t, s, fr_bits, c=8),
+    )
+    return f(tables, scalars)
+
+
+def trim(ck: CommitterKey, cvk: VerifierKeyKZG, degree: int):
+    return CommitterKey(ctx=ck.ctx, powers=ck.powers[: degree + 1], b3=ck.b3), cvk
+
+
+# ---------------------------------------------------------------------------
+# commit / open (device)
+# ---------------------------------------------------------------------------
+
+
+def commit_device(ck: CommitterKey, coeffs: jnp.ndarray, c: int = msm.DEFAULT_WINDOW):
+    """coeffs: (m, L) canonical -> projective commitment point (3, L) (device)."""
+    m = coeffs.shape[0]
+    fr_bits = ck.ctx.curve.fr.modulus.bit_length()
+    return msm.msm(ck.ctx.fq_spec, ck.b3, ck.powers[:m], coeffs, fr_bits, c=c)
+
+
+def commitment_to_host(ck: CommitterKey, point) -> Optional[Tuple[int, int]]:
+    return ec.to_affine_host(ck.ctx.fq_spec, np.asarray(point))[0]
+
+
+def divide_by_linear(
+    fr_spec, coeffs: jnp.ndarray, xi_powers: jnp.ndarray, xi_inv_powers: jnp.ndarray
+) -> jnp.ndarray:
+    """(P(X) - P(xi)) / (X - xi) on device.
+
+    q_i = xi^{-(i+1)} * Σ_{j>i} c_j xi^j — an elementwise multiply, a
+    log-depth suffix-sum scan, and another elementwise multiply.
+    xi_powers: (m, L) = [1, xi, ...]; xi_inv_powers: (m, L) = [xi^-1, xi^-2, ...].
+    """
+    u = fd.mul(fr_spec, coeffs, xi_powers)  # c_j xi^j
+    suf = _suffix_sums(fr_spec, u)  # Σ_{j>=i} u_j
+    suf_excl = jnp.concatenate([suf[1:], fd.zeros(fr_spec, (1,))], axis=0)
+    return fd.mul(fr_spec, suf_excl, xi_inv_powers)
+
+
+def _suffix_sums(spec, x):
+    n = x.shape[0]
+    idx = jnp.arange(n)[:, None]
+    y = x
+    d = 1
+    while d < n:
+        shifted = jnp.roll(y, -d, axis=0)
+        summed = fd.add(spec, y, shifted)
+        y = jnp.where(idx < n - d, summed, y)
+        d <<= 1
+    return y
+
+
+# ---------------------------------------------------------------------------
+# check (host pairing)
+# ---------------------------------------------------------------------------
+
+
+def check(
+    cvk: VerifierKeyKZG,
+    commitments: Sequence[Optional[Tuple[int, int]]],
+    point: int,
+    values: Sequence[int],
+    proof_w: Optional[Tuple[int, int]],
+    eta: int,
+) -> bool:
+    """Batched single-point KZG check:
+    e(Σ eta^i C_i - (Σ eta^i v_i) G1 + xi W, H) == e(W, tau H).
+    """
+    ctx = cvk.ctx
+    r = ctx.curve.fr.modulus
+    Fq = ctx.Fq
+
+    def to_pt(c):
+        if c is None:
+            return None
+        return (Fq(c[0]), Fq(c[1]))
+
+    acc = None
+    v_agg = 0
+    power = 1
+    for c, v in zip(commitments, values):
+        acc = ch.add(acc, ch.scalar_mul(to_pt(c), power))
+        v_agg = (v_agg + power * v) % r
+        power = power * eta % r
+
+    lhs = ch.add(acc, ch.scalar_mul(ctx.g1, (-v_agg) % r))
+    w = to_pt(proof_w)
+    lhs = ch.add(lhs, ch.scalar_mul(w, point % r))
+    return pairing_mod.pairing_product_is_one(
+        ctx, [(lhs, cvk.g2), (ch.neg(w), cvk.tau_g2)]
+    )

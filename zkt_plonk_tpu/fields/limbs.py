@@ -46,21 +46,23 @@ def limbs_to_int(limbs) -> int:
 
 
 def ints_to_array(values: Sequence[int], n_limbs: int) -> np.ndarray:
-    """Vector of ints -> (len, L) uint32 array."""
-    out = np.zeros((len(values), n_limbs), dtype=np.uint32)
-    for j, v in enumerate(values):
-        for i in range(n_limbs):
-            out[j, i] = v & LIMB_MASK
-            v >>= LIMB_BITS
-        assert v == 0
-    return out
+    """Vector of ints -> (len, L) uint32 array (bytes fast path)."""
+    nbytes = n_limbs * (LIMB_BITS // 8)
+    buf = b"".join(v.to_bytes(nbytes, "little") for v in values)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(values), n_limbs)
+    return u16.astype(np.uint32)
 
 
 def array_to_ints(arr: np.ndarray) -> list:
-    arr = np.asarray(arr, dtype=np.uint64)
-    flat = arr.reshape(-1, arr.shape[-1])
-    weights = [1 << (LIMB_BITS * i) for i in range(arr.shape[-1])]
-    return [int(sum(int(row[i]) * weights[i] for i in range(len(weights)))) for row in flat]
+    """(..., L) uint32 limb array -> list of ints (bytes fast path)."""
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, arr.shape[-1]).astype("<u2")
+    nbytes = flat.shape[1] * 2
+    raw = flat.tobytes()
+    return [
+        int.from_bytes(raw[i * nbytes : (i + 1) * nbytes], "little")
+        for i in range(flat.shape[0])
+    ]
 
 
 @dataclass(frozen=True, eq=False)

@@ -1,0 +1,618 @@
+"""The 5-round PLONKUP prover — host-orchestrated device pipeline.
+
+Rebuild of ``plonk-core/src/proof_system/prove.rs:59-483`` (+
+``quotient_poly.rs``, ``linearization_poly.rs``, ``permutation/mod.rs:181-257``,
+``lookup/mod.rs:25-85``), restructured TPU-first:
+
+* each Fiat-Shamir round is one jitted device program (batched iNTTs,
+  fused elementwise passes, Pippenger MSM commits); the host only hashes
+  transcripts and derives challenges between rounds;
+* the two grand products z1/z2 are log-depth prefix-product scans with a
+  single fused batch inversion (the reference's sequential accumulations);
+* the quotient is computed on the 4n coset with precomputed inverse
+  vanishing table (multiply instead of divide) in one fused pass;
+* all committed polynomials are padded to a uniform n+4 coefficients so
+  one compiled MSM shape serves every commitment.
+
+Blinding counts match the reference (a/b/c: 2, h1: 3, h2: 2, z1/z2: 3,
+quotient splits: 1 shared boundary blinder each).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..commitment import kzg
+from ..cs.composer import K1, K2, ProvingComposer
+from ..cs.lookup import LookupTable, combine_split
+from ..fields import device as fd
+from ..fields.limbs import ints_to_array
+from ..ops import ntt
+from ..utils.domain import Domain, make_domain
+from .keys import ExtendedProverKey, ProverKey, VerifierKey
+from .proof import Proof, ProofEvaluations
+
+
+def _enc_scalar(spec, v: int) -> jnp.ndarray:
+    return jnp.asarray(ints_to_array([v % spec.modulus], spec.n_limbs)[0])
+
+
+def _enc_vec(spec, vals: List[int]) -> jnp.ndarray:
+    return jnp.asarray(ints_to_array([v % spec.modulus for v in vals], spec.n_limbs))
+
+
+class Prover:
+    """Caches jitted round programs for a fixed circuit size n."""
+
+    def __init__(
+        self,
+        ck: kzg.CommitterKey,
+        pk: ProverKey,
+        epk: ExtendedProverKey,
+        vk: VerifierKey,
+        lookup_table: LookupTable,
+    ):
+        self.ck = ck
+        self.pk = pk
+        self.epk = epk
+        self.vk = vk
+        self.table = lookup_table
+        self.ctx = ck.ctx
+        self.n = pk.n
+        self.domain = make_domain(self.ctx.curve.fr, self.n)
+        self.domain4 = make_domain(self.ctx.curve.fr, 4 * self.n)
+        self.spec = self.domain.spec
+        self.p = self.spec.modulus
+        self._build_programs()
+
+    # ------------------------------------------------------------------
+    # jitted device programs
+    # ------------------------------------------------------------------
+
+    def _build_programs(self):
+        n, spec, domain, domain4 = self.n, self.spec, self.domain, self.domain4
+        ck, epk = self.ck, self.epk
+        p = self.p
+
+        def blind(padded, blinders):
+            # padded: (B, n+4, L); blinders: (B, 4, L)
+            padded = padded.at[:, n : n + 4, :].add(blinders)
+            head = fd.sub(spec, padded[:, :4, :], blinders)
+            return padded.at[:, :4, :].set(head)
+
+        def commit_batch(evals, blinders):
+            coeffs = ntt.ifft(domain, evals)  # (B, n, L)
+            padded = jnp.pad(coeffs, ((0, 0), (0, 4), (0, 0)))
+            polys = blind(padded, blinders)
+            commits = jax.lax.map(lambda c: kzg.commit_device(ck, c), polys)
+            return polys, commits
+
+        self._commit_batch = jax.jit(commit_batch)
+
+        one = fd.one(spec)
+
+        def z_round(wires, f, t, h1, h2, beta, gamma, delta, epsilon, blinders):
+            a, b, c = wires[0], wires[1], wires[2]
+            roots = epk.roots
+            s1, s2, s3 = epk.sigma_evals[0], epk.sigma_evals[1], epk.sigma_evals[2]
+            k1 = fd.constant(spec, K1)
+            k2 = fd.constant(spec, K2)
+
+            bx = fd.mul(spec, beta, roots)
+            num1 = fd.add(spec, fd.add(spec, bx, a), gamma)
+            num2 = fd.add(spec, fd.add(spec, fd.mul(spec, k1, bx), b), gamma)
+            num3 = fd.add(spec, fd.add(spec, fd.mul(spec, k2, bx), c), gamma)
+            z1_num = fd.mul(spec, fd.mul(spec, num1, num2), num3)
+            den1 = fd.add(spec, fd.add(spec, fd.mul(spec, beta, s1), a), gamma)
+            den2 = fd.add(spec, fd.add(spec, fd.mul(spec, beta, s2), b), gamma)
+            den3 = fd.add(spec, fd.add(spec, fd.mul(spec, beta, s3), c), gamma)
+            z1_den = fd.mul(spec, fd.mul(spec, den1, den2), den3)
+
+            one_plus_delta = fd.add(spec, one, delta)
+            eps_1pd = fd.mul(spec, epsilon, one_plus_delta)
+            t_next = jnp.roll(t, -1, axis=0)
+            h1_next = jnp.roll(h1, -1, axis=0)
+            z2_num = fd.mul(
+                spec,
+                fd.mul(spec, one_plus_delta, fd.add(spec, epsilon, f)),
+                fd.add(spec, fd.add(spec, fd.mul(spec, delta, t_next), eps_1pd), t),
+            )
+            z2_den = fd.mul(
+                spec,
+                fd.add(spec, fd.add(spec, fd.mul(spec, delta, h2), eps_1pd), h1),
+                fd.add(spec, fd.add(spec, fd.mul(spec, delta, h1_next), eps_1pd), h2),
+            )
+
+            dens = jnp.stack([z1_den, z2_den])  # (2, n, L)
+            dens_inv = fd.batch_inverse(spec, dens.reshape(2 * n, -1), axis=0).reshape(
+                dens.shape
+            )
+            ratios = fd.mul(spec, jnp.stack([z1_num, z2_num]), dens_inv)
+            # exclusive prefix product: z[0] = 1, z[i] = prod_{j<i} ratio_j
+            shifted = jnp.roll(ratios, 1, axis=1)
+            shifted = shifted.at[:, 0, :].set(one)
+            z_evals = fd.prefix_products(spec, shifted, axis=1)
+
+            return commit_batch(z_evals, blinders)
+
+        self._z_round = jax.jit(z_round)
+
+        c4 = epk.coset  # name -> (4n, L)
+
+        def quotient_round(polys9, pi_evals, alpha, beta, gamma, delta, epsilon, qblinders):
+            # polys9: (8, n+4, L) [a,b,c,z1,z2,t,h1,h2]
+            pi_poly = ntt.ifft(domain, pi_evals)  # (n, L)
+            padded = jnp.concatenate(
+                [
+                    jnp.pad(polys9, ((0, 0), (0, 4 * n - (n + 4)), (0, 0))),
+                    jnp.pad(pi_poly, ((0, 3 * n), (0, 0)))[None],
+                ]
+            )  # (9, 4n, L)
+            cs = ntt.coset_fft(domain4, padded)
+            a, b, c, z1, z2, t, h1, h2, pi = (cs[i] for i in range(9))
+            z1n = jnp.roll(z1, -4, axis=0)
+            z2n = jnp.roll(z2, -4, axis=0)
+            tn = jnp.roll(t, -4, axis=0)
+            h1n = jnp.roll(h1, -4, axis=0)
+
+            m = lambda x, y: fd.mul(spec, x, y)
+            ad = lambda x, y: fd.add(spec, x, y)
+            sb = lambda x, y: fd.sub(spec, x, y)
+
+            # arithmetic contribution (``keys/arithmetic.rs:67-81``)
+            arith = ad(
+                ad(
+                    ad(m(m(a, b), c4["q_m"]), m(a, c4["q_l"])),
+                    ad(m(b, c4["q_r"]), m(c, c4["q_o"])),
+                ),
+                ad(c4["q_c"], pi),
+            )
+
+            # permutation contribution (``keys/permutation.rs:97-137``)
+            k1 = fd.constant(spec, K1)
+            k2 = fd.constant(spec, K2)
+            bx = m(beta, epk.x_coset)
+            part1 = m(
+                m(alpha, z1),
+                m(
+                    m(ad(ad(bx, a), gamma), ad(ad(m(k1, bx), b), gamma)),
+                    ad(ad(m(k2, bx), c), gamma),
+                ),
+            )
+            part2 = m(
+                m(alpha, z1n),
+                m(
+                    m(
+                        ad(ad(m(beta, c4["sigma1"]), a), gamma),
+                        ad(ad(m(beta, c4["sigma2"]), b), gamma),
+                    ),
+                    ad(ad(m(beta, c4["sigma3"]), c), gamma),
+                ),
+            )
+            alpha_sq = m(alpha, alpha)
+            part3 = m(m(sb(z1, one), epk.l1_coset), alpha_sq)
+            perm = ad(sb(part1, part2), part3)
+
+            # lookup contribution (``keys/lookup.rs:81-122``)
+            alpha_cu = m(alpha_sq, alpha)
+            alpha_qu = m(alpha_cu, alpha)
+            one_plus_delta = ad(one, delta)
+            eps_1pd = m(epsilon, one_plus_delta)
+            lk1 = m(
+                m(m(alpha_cu, z2), one_plus_delta),
+                m(
+                    ad(epsilon, m(c4["q_lookup"], c)),
+                    ad(ad(eps_1pd, t), m(delta, tn)),
+                ),
+            )
+            lk2 = m(
+                m(alpha_cu, z2n),
+                m(
+                    ad(ad(eps_1pd, h1), m(delta, h2)),
+                    ad(ad(eps_1pd, h2), m(delta, h1n)),
+                ),
+            )
+            lk3 = m(m(alpha_qu, sb(z2, one)), epk.l1_coset)
+            lk4 = m(m(m(alpha_qu, alpha), c4["q_table"]), t)
+            lookup = ad(ad(sb(lk1, lk2), lk3), lk4)
+
+            q_evals = m(ad(ad(arith, perm), lookup), epk.zh_coset_inv)
+            q = ntt.coset_ifft(domain4, q_evals)  # (4n, L)
+
+            b0 = qblinders[0]
+            b1 = qblinders[1]
+            q_lo = jnp.pad(q[: n + 2], ((0, 2), (0, 0)))
+            q_lo = q_lo.at[n + 2].set(b0)
+            q_mid = jnp.pad(q[n + 2 : 2 * n + 4], ((0, 2), (0, 0)))
+            q_mid = q_mid.at[0].set(fd.sub(spec, q_mid[0], b0))
+            q_mid = q_mid.at[n + 2].set(b1)
+            q_hi = q[2 * n + 4 : 3 * n + 8]
+            q_hi = q_hi.at[0].set(fd.sub(spec, q_hi[0], b1))
+
+            q_polys = jnp.stack([q_lo, q_mid, q_hi])  # (3, n+4, L)
+            commits = jax.lax.map(lambda cfs: kzg.commit_device(ck, cfs), q_polys)
+            return q_polys, commits
+
+        self._quotient_round = jax.jit(quotient_round)
+
+        def evaluate(polys_xi, polys_wxi, xi_powers, wxi_powers):
+            ev_xi = _eval_many(spec, polys_xi, xi_powers)
+            ev_wxi = _eval_many(spec, polys_wxi, wxi_powers)
+            return ev_xi, ev_wxi
+
+        self._evaluate = jax.jit(evaluate)
+
+        def linearize(polys13, scalars13):
+            terms = fd.mul(spec, polys13, scalars13[:, None, :])
+            acc = terms[0]
+            for i in range(1, terms.shape[0]):
+                acc = fd.add(spec, acc, terms[i])
+            return acc
+
+        self._linearize = jax.jit(linearize)
+
+        def open_batch(polys, eta_powers, pt_powers, pt_inv_powers):
+            folded_terms = fd.mul(spec, polys, eta_powers[:, None, :])
+            folded = folded_terms[0]
+            for i in range(1, folded_terms.shape[0]):
+                folded = fd.add(spec, folded, folded_terms[i])
+            w = kzg.divide_by_linear(spec, folded, pt_powers, pt_inv_powers)
+            return kzg.commit_device(ck, w)
+
+        self._open_batch = jax.jit(open_batch)
+
+    # ------------------------------------------------------------------
+    # host orchestration
+    # ------------------------------------------------------------------
+
+    def prove(self, composer: ProvingComposer, transcript, rng) -> Proof:
+        n, p, spec = self.n, self.p, self.spec
+        ck = self.ck
+        composer.pad_to(n)
+
+        # PI to transcript (``prove.rs:110``)
+        transcript.append_scalars("pi", composer.pi_values())
+
+        # --- round 1: wire polynomials --------------------------------
+        a_ints, b_ints, c_ints = composer.wire_evals()
+        wires = jnp.asarray(
+            np.stack(
+                [
+                    ints_to_array(a_ints, spec.n_limbs),
+                    ints_to_array(b_ints, spec.n_limbs),
+                    ints_to_array(c_ints, spec.n_limbs),
+                ]
+            )
+        )
+        wire_blinders = _blinders(spec, rng, p, [2, 2, 2])
+        abc_polys, abc_commits = self._commit_batch(wires, wire_blinders)
+        abc_aff = self._to_host_points(abc_commits)
+        transcript.append_commitment("a_commit", abc_aff[0])
+        transcript.append_commitment("b_commit", abc_aff[1])
+        transcript.append_commitment("c_commit", abc_aff[2])
+
+        # --- round 2: lookup polynomials ------------------------------
+        t_ints = self.table.into_multiset(n)
+        ql = self.epk.q_lookup_evals_host
+        f_ints = [(ql[i] * c_ints[i]) % p for i in range(n)]
+        h1_ints, h2_ints = combine_split(t_ints, f_ints)
+        h1_ints += [0] * (n - len(h1_ints))
+        h2_ints += [0] * (n - len(h2_ints))
+
+        lookup_evals = jnp.asarray(
+            np.stack(
+                [
+                    ints_to_array(t_ints, spec.n_limbs),
+                    ints_to_array(h1_ints, spec.n_limbs),
+                    ints_to_array(h2_ints, spec.n_limbs),
+                ]
+            )
+        )
+        lookup_blinders = _blinders(spec, rng, p, [0, 3, 2])
+        th_polys, th_commits = self._commit_batch(lookup_evals, lookup_blinders)
+        th_aff = self._to_host_points(th_commits)
+        transcript.append_commitment("t_commit", th_aff[0])
+        transcript.append_commitment("h1_commit", th_aff[1])
+        transcript.append_commitment("h2_commit", th_aff[2])
+
+        # --- round 3: grand products ----------------------------------
+        beta = transcript.challenge_scalar("beta")
+        gamma = transcript.challenge_scalar("gamma")
+        delta = transcript.challenge_scalar("delta")
+        epsilon = transcript.challenge_scalar("epsilon")
+        challenges = {beta, gamma, delta, epsilon}
+        assert len(challenges) == 4, "challenges must be different"
+
+        z_blinders = _blinders(spec, rng, p, [3, 3])
+        z_polys, z_commits = self._z_round(
+            wires,
+            jnp.asarray(ints_to_array(f_ints, spec.n_limbs)),
+            lookup_evals[0],
+            lookup_evals[1],
+            lookup_evals[2],
+            _enc_scalar(spec, beta),
+            _enc_scalar(spec, gamma),
+            _enc_scalar(spec, delta),
+            _enc_scalar(spec, epsilon),
+            z_blinders,
+        )
+        z_aff = self._to_host_points(z_commits)
+        transcript.append_commitment("z1_commit", z_aff[0])
+        transcript.append_commitment("z2_commit", z_aff[1])
+
+        # --- round 4: quotient ----------------------------------------
+        alpha = transcript.challenge_scalar("alpha")
+        pi_evals = jnp.asarray(ints_to_array(composer.pi_as_evals(n), spec.n_limbs))
+        # [a,b,c,z1,z2,t,h1,h2] (8, n+4, L)
+        polys8 = jnp.stack(
+            [
+                abc_polys[0],
+                abc_polys[1],
+                abc_polys[2],
+                z_polys[0],
+                z_polys[1],
+                th_polys[0],
+                th_polys[1],
+                th_polys[2],
+            ]
+        )
+        q_blinders = _enc_vec(spec, [rng.randrange(p), rng.randrange(p)])
+        q_polys, q_commits = self._quotient_round(
+            polys8,
+            pi_evals,
+            _enc_scalar(spec, alpha),
+            _enc_scalar(spec, beta),
+            _enc_scalar(spec, gamma),
+            _enc_scalar(spec, delta),
+            _enc_scalar(spec, epsilon),
+            q_blinders,
+        )
+        q_aff = self._to_host_points(q_commits)
+        transcript.append_commitment("q_lo_commit", q_aff[0])
+        transcript.append_commitment("q_mid_commit", q_aff[1])
+        transcript.append_commitment("q_hi_commit", q_aff[2])
+
+        # --- round 5: evaluations + linearization ---------------------
+        xi = transcript.challenge_scalar("xi")
+        omega = self.domain.group_gen
+        wxi = xi * omega % p
+
+        pk_padded = {
+            name: jnp.pad(self.pk.polys[name], ((0, 4), (0, 0)))
+            for name in ("sigma1", "sigma2", "sigma3", "q_lookup", "q_table",
+                         "q_m", "q_l", "q_r", "q_o", "q_c")
+        }
+
+        xi_powers = _powers_arr(spec, xi, n + 4, p)
+        wxi_powers = _powers_arr(spec, wxi, n + 4, p)
+
+        polys_xi = jnp.stack(
+            [
+                abc_polys[0],
+                abc_polys[1],
+                abc_polys[2],
+                pk_padded["sigma1"],
+                pk_padded["sigma2"],
+                pk_padded["q_lookup"],
+                th_polys[0],  # t
+                th_polys[2],  # h2
+            ]
+        )
+        polys_wxi = jnp.stack(
+            [z_polys[0], th_polys[0], z_polys[1], th_polys[1]]
+        )  # z1, t, z2, h1
+        ev_xi, ev_wxi = self._evaluate(polys_xi, polys_wxi, xi_powers, wxi_powers)
+        ev_xi_i = spec.decode(np.asarray(ev_xi))
+        ev_wxi_i = spec.decode(np.asarray(ev_wxi))
+
+        evals = ProofEvaluations(
+            a=ev_xi_i[0],
+            b=ev_xi_i[1],
+            c=ev_xi_i[2],
+            sigma1=ev_xi_i[3],
+            sigma2=ev_xi_i[4],
+            z1_next=ev_wxi_i[0],
+            q_lookup=ev_xi_i[5],
+            t=ev_xi_i[6],
+            t_next=ev_wxi_i[1],
+            z2_next=ev_wxi_i[2],
+            h1_next=ev_wxi_i[3],
+            h2=ev_xi_i[7],
+        )
+
+        for label, value in evals.transcript_items():
+            transcript.append_scalar(label, value)
+
+        # linearization polynomial (host scalars, device combination)
+        zh_eval = (pow(xi, n, p) - 1) % p
+        l1_eval = zh_eval * pow(n * (xi - 1) % p, -1, p) % p
+        scalars, poly_list = self._linearization_terms(
+            evals, alpha, beta, gamma, delta, epsilon, xi, zh_eval, l1_eval,
+            pk_padded, abc_polys, z_polys, th_polys, q_polys,
+        )
+        r_poly = self._linearize(
+            jnp.stack(poly_list), _enc_vec(spec, scalars)
+        )
+
+        # --- openings --------------------------------------------------
+        eta = transcript.challenge_scalar("eta")
+
+        aw_polys = jnp.stack(
+            [
+                r_poly,
+                abc_polys[0],
+                abc_polys[1],
+                abc_polys[2],
+                pk_padded["sigma1"],
+                pk_padded["sigma2"],
+                pk_padded["q_lookup"],
+                th_polys[0],
+                th_polys[2],
+            ]
+        )
+        saw_polys = jnp.stack([z_polys[0], z_polys[1], th_polys[0], th_polys[1]])
+
+        xi_inv_powers = _inv_powers_arr(spec, xi, n + 4, p)
+        wxi_inv_powers = _inv_powers_arr(spec, wxi, n + 4, p)
+
+        aw_commit = self._open_batch(
+            aw_polys, _eta_powers(spec, eta, 9, p), xi_powers, xi_inv_powers
+        )
+        saw_commit = self._open_batch(
+            saw_polys, _eta_powers(spec, eta, 4, p), wxi_powers, wxi_inv_powers
+        )
+        aw_aff, saw_aff = self._to_host_points(jnp.stack([aw_commit, saw_commit]))
+
+        return Proof(
+            a_commit=abc_aff[0],
+            b_commit=abc_aff[1],
+            c_commit=abc_aff[2],
+            t_commit=th_aff[0],
+            h1_commit=th_aff[1],
+            h2_commit=th_aff[2],
+            z1_commit=z_aff[0],
+            z2_commit=z_aff[1],
+            q_lo_commit=q_aff[0],
+            q_mid_commit=q_aff[1],
+            q_hi_commit=q_aff[2],
+            aw_opening=aw_aff,
+            saw_opening=saw_aff,
+            evaluations=evals,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _linearization_terms(
+        self, ev, alpha, beta, gamma, delta, epsilon, xi, zh_eval, l1_eval,
+        pk_padded, abc_polys, z_polys, th_polys, q_polys,
+    ):
+        """Host-side linearization scalars (``linearization_poly.rs:77-111``
+        + widget ``compute_linearization`` methods)."""
+        p = self.p
+        n = self.n
+
+        scalars = [ev.a * ev.b % p, ev.a, ev.b, ev.c, 1]
+        polys = [
+            pk_padded["q_m"],
+            pk_padded["q_l"],
+            pk_padded["q_r"],
+            pk_padded["q_o"],
+            pk_padded["q_c"],
+        ]
+
+        # permutation (``keys/permutation.rs:34-69``)
+        beta_xi = beta * xi % p
+        z1_scalar = (
+            alpha
+            * ((beta_xi + ev.a + gamma) % p)
+            * ((beta_xi * K1 + ev.b + gamma) % p)
+            * ((beta_xi * K2 + ev.c + gamma) % p)
+            + l1_eval * alpha * alpha
+        ) % p
+        scalars.append(z1_scalar)
+        polys.append(z_polys[0])
+
+        sigma3_scalar = (
+            -alpha
+            * beta
+            * ev.z1_next
+            * ((beta * ev.sigma1 + ev.a + gamma) % p)
+            * ((beta * ev.sigma2 + ev.b + gamma) % p)
+        ) % p
+        scalars.append(sigma3_scalar)
+        polys.append(pk_padded["sigma3"])
+
+        # lookup (``keys/lookup.rs:29-65``)
+        alpha_cu = pow(alpha, 3, p)
+        alpha_qu = pow(alpha, 4, p)
+        one_plus_delta = (1 + delta) % p
+        eps_1pd = epsilon * one_plus_delta % p
+        z2_scalar = (
+            alpha_cu
+            * one_plus_delta
+            * ((epsilon + ev.q_lookup * ev.c) % p)
+            * ((eps_1pd + ev.t + delta * ev.t_next) % p)
+            + alpha_qu * l1_eval
+        ) % p
+        scalars.append(z2_scalar)
+        polys.append(z_polys[1])
+
+        h1_scalar = (
+            -alpha_cu * ev.z2_next * ((eps_1pd + ev.h2 + delta * ev.h1_next) % p)
+        ) % p
+        scalars.append(h1_scalar)
+        polys.append(th_polys[1])
+
+        scalars.append(alpha_qu * alpha % p * ev.t % p)
+        polys.append(pk_padded["q_table"])
+
+        # quotient recombination (``linearization_poly.rs:101-109``)
+        xi_n2 = (zh_eval + 1) * xi * xi % p
+        scalars.append((-zh_eval) % p)
+        polys.append(q_polys[0])
+        scalars.append((-zh_eval) * xi_n2 % p)
+        polys.append(q_polys[1])
+        scalars.append((-zh_eval) * xi_n2 % p * xi_n2 % p)
+        polys.append(q_polys[2])
+
+        return scalars, polys
+
+    def _to_host_points(self, commits):
+        from ..ops import ec
+
+        return ec.to_affine_host(self.ctx.fq_spec, np.asarray(commits))
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _eval_many(spec, polys, powers):
+    """Σ_j c_j x^j for each poly via elementwise mul + log-depth add-reduce."""
+    terms = fd.mul(spec, polys, powers)
+    m = terms.shape[1]
+    # tree reduction along the coefficient axis
+    while m > 1:
+        half = (m + 1) // 2
+        lo = terms[:, :half]
+        hi = terms[:, half:m]
+        hi = jnp.pad(hi, ((0, 0), (0, half - hi.shape[1]), (0, 0)))
+        terms = fd.add(spec, lo, hi)
+        m = half
+    return terms[:, 0]
+
+
+def _blinders(spec, rng, p, counts: List[int]) -> jnp.ndarray:
+    rows = []
+    for k in counts:
+        vals = [rng.randrange(p) for _ in range(k)] + [0] * (4 - k)
+        rows.append(ints_to_array(vals, spec.n_limbs))
+    return jnp.asarray(np.stack(rows))
+
+
+def _powers_arr(spec, x: int, count: int, p: int) -> jnp.ndarray:
+    vals = [1] * count
+    for i in range(1, count):
+        vals[i] = vals[i - 1] * x % p
+    return jnp.asarray(ints_to_array(vals, spec.n_limbs))
+
+
+def _inv_powers_arr(spec, x: int, count: int, p: int) -> jnp.ndarray:
+    xi = pow(x, -1, p)
+    vals = [xi] * count
+    for i in range(1, count):
+        vals[i] = vals[i - 1] * xi % p
+    return jnp.asarray(ints_to_array(vals, spec.n_limbs))
+
+
+def _eta_powers(spec, eta: int, count: int, p: int) -> jnp.ndarray:
+    vals = [1] * count
+    for i in range(1, count):
+        vals[i] = vals[i - 1] * eta % p
+    return jnp.asarray(ints_to_array(vals, spec.n_limbs))

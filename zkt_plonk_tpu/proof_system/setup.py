@@ -1,0 +1,146 @@
+"""Circuit preprocessing: setup-mode CS -> (ProverKey, ExtendedProverKey,
+VerifierKey).
+
+Rebuild of ``plonk-core/src/proof_system/setup.rs:42-166``:
+selector/sigma/table evaluation columns are batch-iNTT'd into coefficient
+form, batch-committed (10 device MSMs), and optionally extended into 4n
+coset tables.  Host work is limited to the sigma permutation walk and array
+staging; NTTs and MSMs run on device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..commitment import kzg
+from ..cs.composer import SetupComposer, K1, K2
+from ..cs.lookup import LookupTable
+from ..fields import device as fd
+from ..fields.limbs import ints_to_array
+from ..ops import ntt
+from ..utils.domain import Domain, make_domain
+from .keys import POLY_ORDER, ExtendedProverKey, ProverKey, VerifierKey
+
+MIN_CIRCUIT_SIZE = 8  # quotient split needs 3n+6 <= 4n
+
+
+def setup(
+    ck: kzg.CommitterKey,
+    composer: SetupComposer,
+    lookup_table: LookupTable,
+    circuit_bound: int,
+    extend: bool = True,
+) -> Tuple[ProverKey, Optional[ExtendedProverKey], VerifierKey]:
+    ctx = ck.ctx
+    p = ctx.curve.fr.modulus
+    n = max(circuit_bound, MIN_CIRCUIT_SIZE)
+    domain = make_domain(ctx.curve.fr, n)
+    spec = domain.spec
+
+    composer.pad_to(n)
+
+    # sigma permutation walk (host) — ``permutation/mod.rs:103-177``
+    roots = domain.elements()
+    sigma_evals = composer.perm.compute_all_sigma_evals(n, roots, p)
+
+    q_table = lookup_table.masks(n)
+
+    eval_columns = [
+        composer.q_m,
+        composer.q_l,
+        composer.q_r,
+        composer.q_o,
+        composer.q_c,
+        sigma_evals[0],
+        sigma_evals[1],
+        sigma_evals[2],
+        composer.q_lookup,
+        q_table,
+    ]
+    evals_arr = jnp.asarray(
+        np.stack([ints_to_array(col, spec.n_limbs) for col in eval_columns])
+    )  # (10, n, L)
+
+    polys_arr = _batch_ifft(domain, evals_arr)  # (10, n, L)
+
+    # batch-commit the 10 polynomials (``setup.rs:104-121``)
+    commits = {}
+    commit_fn = _commit_fn(ck, n)
+    for i, name in enumerate(POLY_ORDER):
+        commits[name] = kzg.commitment_to_host(ck, commit_fn(polys_arr[i]))
+
+    pk = ProverKey(n=n, polys={name: polys_arr[i] for i, name in enumerate(POLY_ORDER)})
+    vk = VerifierKey(
+        n=n,
+        pi_pos=list(composer.pp),
+        commitments=commits,
+        domain_gen=domain.group_gen,
+    )
+
+    epk = extend_prover_key(ctx, domain, pk, sigma_evals, composer.q_lookup) if extend else None
+    return pk, epk, vk
+
+
+def _batch_ifft(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
+    return jax.jit(lambda e: ntt.ifft(domain, e))(evals)
+
+
+def _commit_fn(ck: kzg.CommitterKey, n: int):
+    return jax.jit(lambda c: kzg.commit_device(ck, c))
+
+
+def extend_prover_key(
+    ctx, domain: Domain, pk: ProverKey, sigma_evals, q_lookup_evals
+) -> ExtendedProverKey:
+    """4n coset tables + vanishing/lagrange precomputation
+    (``keys/mod.rs:78-146``)."""
+    n = domain.size
+    p = domain.modulus
+    spec = domain.spec
+    domain4 = make_domain(ctx.curve.fr, 4 * n)
+
+    stacked = pk.stacked(POLY_ORDER)  # (10, n, L)
+
+    # zh on the coset has only 4 distinct values: (g w4n^i)^n = g^n * i4^i
+    g_n = pow(domain.coset_gen, n, p)
+    i4 = pow(domain4.group_gen, n, p)  # primitive 4th root of unity
+    zh_vals = [(g_n * pow(i4, i, p) - 1) % p for i in range(4)]
+    zh_inv_vals = [pow(v, -1, p) for v in zh_vals]
+    zh_coset_inv = np.tile(ints_to_array(zh_inv_vals, spec.n_limbs), (n, 1))
+
+    x_coset_host = [domain.coset_gen * pow(domain4.group_gen, i, p) % p for i in range(4 * n)]
+    x_coset = ints_to_array(x_coset_host, spec.n_limbs)
+
+    # L1 on the coset: zh(x) / (n (x - 1))
+    l1_denoms = [n * (x - 1) % p for x in x_coset_host]
+    from ..fields.host import batch_inverse_ints
+
+    l1_inv = batch_inverse_ints(l1_denoms, p)
+    l1_vals = [
+        zh_vals[i % 4] * l1_inv[i] % p for i in range(4 * n)
+    ]
+    l1_coset = ints_to_array(l1_vals, spec.n_limbs)
+
+    @jax.jit
+    def _cosets(polys):
+        padded = jnp.pad(polys, ((0, 0), (0, 3 * n), (0, 0)))
+        return ntt.coset_fft(domain4, padded)
+
+    coset_tables = _cosets(stacked)  # (10, 4n, L)
+
+    return ExtendedProverKey(
+        n=n,
+        coset={name: coset_tables[i] for i, name in enumerate(POLY_ORDER)},
+        x_coset=jnp.asarray(x_coset),
+        zh_coset_inv=jnp.asarray(zh_coset_inv),
+        l1_coset=jnp.asarray(l1_coset),
+        sigma_evals=jnp.asarray(
+            np.stack([ints_to_array(s, spec.n_limbs) for s in sigma_evals])
+        ),
+        roots=jnp.asarray(ints_to_array(domain.elements(), spec.n_limbs)),
+        q_lookup_evals_host=list(q_lookup_evals),
+    )
