@@ -279,17 +279,20 @@ def prefix_products(spec: FieldSpec, x: jnp.ndarray, axis: int = 0) -> jnp.ndarr
     ``lookup/mod.rs:76-83``).
     """
     n = x.shape[axis]
-    y = x
-    d = 1
+    if n == 1:
+        return x
     idx_shape = [1] * x.ndim
     idx_shape[axis] = n
     idx = jnp.arange(n).reshape(idx_shape)
-    while d < n:
+    steps = (n - 1).bit_length()
+
+    def body(i, y):
+        d = jnp.int32(1) << i
         shifted = jnp.roll(y, d, axis=axis)
         prod = mul(spec, y, shifted)
-        y = jnp.where(idx >= d, prod, y)
-        d <<= 1
-    return y
+        return jnp.where(idx >= d, prod, y)
+
+    return jax.lax.fori_loop(0, steps, body, x)
 
 
 def batch_inverse(spec: FieldSpec, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:

@@ -70,29 +70,46 @@ def add(spec: FieldSpec, b3: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray) -> jnp
     """Complete projective addition (RCB 2015, Algorithm 7, a=0).
 
     ``b3`` is the limb array of 3*b (curve constant).  Shapes broadcast.
+
+    The 12 field multiplies are grouped into 3 *stacked* multiplies (the
+    expression DAG has 3 multiplicative layers): this keeps the number of
+    distinct mul subgraphs — and therefore XLA compile time — constant, and
+    gives the VPU larger fused batches at runtime.
     """
+    p, q = jnp.broadcast_arrays(p, q)
     X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]
-    m = lambda a, b: fd.mul(spec, a, b)
     a_ = lambda a, b: fd.add(spec, a, b)
     s_ = lambda a, b: fd.sub(spec, a, b)
 
-    t0 = m(X1, X2)
-    t1 = m(Y1, Y2)
-    t2 = m(Z1, Z2)
-    t3 = s_(s_(m(a_(X1, Y1), a_(X2, Y2)), t0), t1)  # X1Y2 + X2Y1
-    t4 = s_(s_(m(a_(Y1, Z1), a_(Y2, Z2)), t1), t2)  # Y1Z2 + Y2Z1
-    t5 = s_(s_(m(a_(X1, Z1), a_(X2, Z2)), t0), t2)  # X1Z2 + X2Z1
+    # layer 1: 6 independent products (stacked)
+    # [X1X2, Y1Y2, (X1+Y1)(X2+Y2), (Y1+Z1)(Y2+Z2), (X1+Z1)(X2+Z2), Z1Z2]
+    lhs = jnp.stack([X1, Y1, a_(X1, Y1), a_(Y1, Z1), a_(X1, Z1), Z1])
+    rhs = jnp.stack([X2, Y2, a_(X2, Y2), a_(Y2, Z2), a_(X2, Z2), Z2])
+    prod1 = fd.mul(spec, lhs, rhs)
+    t0, t1, sxy, syz, sxz, t2 = (prod1[k] for k in range(6))
+
+    t3 = s_(s_(sxy, t0), t1)  # X1Y2 + X2Y1
+    t4 = s_(s_(syz, t1), t2)  # Y1Z2 + Y2Z1
+    t5 = s_(s_(sxz, t0), t2)  # X1Z2 + X2Z1
+
+    # layer 2: multiplies by the constant b3 (stacked)
+    prod2 = fd.mul(spec, jnp.stack([t2, t5]), b3)
+    b3t2, b3t5 = prod2[0], prod2[1]
 
     m3t0 = a_(a_(t0, t0), t0)  # 3 X1X2
-    b3t2 = m(b3, t2)  # b3 Z1Z2
     zs = a_(t1, b3t2)  # Y1Y2 + b3 Z1Z2
     td = s_(t1, b3t2)  # Y1Y2 - b3 Z1Z2
-    b3t5 = m(b3, t5)  # b3 (X1Z2 + X2Z1)
 
-    X3 = s_(m(t3, td), m(t4, b3t5))
-    Y3 = a_(m(b3t5, m3t0), m(td, zs))
-    Z3 = a_(m(zs, t4), m(m3t0, t3))
+    # layer 3: 6 independent products (stacked)
+    prod3 = fd.mul(
+        spec,
+        jnp.stack([t3, t4, b3t5, td, zs, m3t0]),
+        jnp.stack([td, b3t5, m3t0, zs, t4, t3]),
+    )
+    X3 = s_(prod3[0], prod3[1])
+    Y3 = a_(prod3[2], prod3[3])
+    Z3 = a_(prod3[4], prod3[5])
     return jnp.stack([X3, Y3, Z3], axis=-2)
 
 

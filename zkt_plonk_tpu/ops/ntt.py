@@ -26,35 +26,59 @@ from ..fields.limbs import FieldSpec
 from ..utils.domain import Domain
 
 
-def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, twiddles: List) -> jnp.ndarray:
+def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, tw_flat: jnp.ndarray) -> jnp.ndarray:
+    """All log2(n) DIT butterfly stages under ONE fori_loop body.
+
+    Stage structure is derived arithmetically from the index vector (partner
+    = i XOR half, twiddle exponent = (i & (half-1)) * n/m), so a single
+    compiled butterfly serves every stage — XLA compile time is O(1) in n,
+    and the per-stage work is one gather + one mul + add/sub + select.
+
+    ``tw_flat``: (n/2, L) powers [w^0 .. w^(n/2-1)] of the domain generator
+    (or its inverse for the iNTT).
+    """
+    import jax
+
     *batch, n, L = x.shape
-    for s, w in enumerate(twiddles):
-        m = 2 << s
-        half = m >> 1
-        xr = x.reshape(*batch, n // m, m, L)
-        lo = xr[..., :half, :]
-        hi = xr[..., half:, :]
-        t = fd.mul(spec, hi, jnp.asarray(w, jnp.uint32))
-        x = jnp.concatenate([fd.add(spec, lo, t), fd.sub(spec, lo, t)], axis=-2)
-        x = x.reshape(*batch, n, L)
-    return x
+    if n == 1:
+        return x
+    log_n = n.bit_length() - 1
+    i = jnp.arange(n, dtype=jnp.int32)
+
+    def body(s, x):
+        half = jnp.int32(1) << s
+        partner = i ^ half
+        is_u = (i & half) == 0
+        j = i & (half - 1)
+        tw_idx = j * (jnp.int32(n) >> (s + 1))
+        tw = jnp.take(tw_flat, tw_idx, axis=0)  # (n, L)
+        xp = jnp.take(x, partner, axis=-2)
+        operand = jnp.where(is_u[:, None], xp, x)
+        m1 = fd.mul(spec, tw, operand)
+        return jnp.where(
+            is_u[:, None], fd.add(spec, x, m1), fd.sub(spec, xp, m1)
+        )
+
+    return jax.lax.fori_loop(0, log_n, body, x)
 
 
 def fft(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Coefficients -> evaluations at [1, w, w^2, ...] (natural order)."""
     spec = domain.spec
     x = jnp.take(coeffs, jnp.asarray(domain.bit_reversal_perm()), axis=-2)
-    return _butterfly_stages(spec, x, domain.stage_twiddles(inverse=False))
+    tw = jnp.asarray(domain.powers_array(domain.group_gen, max(1, domain.size // 2)))
+    return _butterfly_stages(spec, x, tw)
 
 
 def ifft(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
     """Evaluations -> coefficients."""
     spec = domain.spec
     x = jnp.take(evals, jnp.asarray(domain.bit_reversal_perm()), axis=-2)
-    x = _butterfly_stages(spec, x, domain.stage_twiddles(inverse=True))
-    n_inv = jnp.asarray(
-        domain.spec.encode([domain.size_inv])[0], jnp.uint32
+    tw = jnp.asarray(
+        domain.powers_array(domain.group_gen_inv, max(1, domain.size // 2))
     )
+    x = _butterfly_stages(spec, x, tw)
+    n_inv = jnp.asarray(domain.spec.encode([domain.size_inv])[0], jnp.uint32)
     return fd.mul(spec, x, n_inv)
 
 

@@ -96,37 +96,54 @@ class Prover:
 
         one = fd.one(spec)
 
-        def z_round(wires, f, t, h1, h2, beta, gamma, delta, epsilon, blinders):
+        def _bc(s, shape):
+            return jnp.broadcast_to(s, (*shape, spec.n_limbs))
+
+        def z_round(wires, f, t, h1, h2, scalars, blinders):
+            # scalars: (6, L) [beta, beta*K1, beta*K2, gamma, delta, eps_1pd];
+            # plus one_plus_delta at index 6, epsilon at 7
             a, b, c = wires[0], wires[1], wires[2]
             roots = epk.roots
             s1, s2, s3 = epk.sigma_evals[0], epk.sigma_evals[1], epk.sigma_evals[2]
-            k1 = fd.constant(spec, K1)
-            k2 = fd.constant(spec, K2)
-
-            bx = fd.mul(spec, beta, roots)
-            num1 = fd.add(spec, fd.add(spec, bx, a), gamma)
-            num2 = fd.add(spec, fd.add(spec, fd.mul(spec, k1, bx), b), gamma)
-            num3 = fd.add(spec, fd.add(spec, fd.mul(spec, k2, bx), c), gamma)
-            z1_num = fd.mul(spec, fd.mul(spec, num1, num2), num3)
-            den1 = fd.add(spec, fd.add(spec, fd.mul(spec, beta, s1), a), gamma)
-            den2 = fd.add(spec, fd.add(spec, fd.mul(spec, beta, s2), b), gamma)
-            den3 = fd.add(spec, fd.add(spec, fd.mul(spec, beta, s3), c), gamma)
-            z1_den = fd.mul(spec, fd.mul(spec, den1, den2), den3)
-
-            one_plus_delta = fd.add(spec, one, delta)
-            eps_1pd = fd.mul(spec, epsilon, one_plus_delta)
+            beta, bk1, bk2, gamma, delta, eps_1pd, one_pd, epsilon = (
+                scalars[i] for i in range(8)
+            )
             t_next = jnp.roll(t, -1, axis=0)
             h1_next = jnp.roll(h1, -1, axis=0)
-            z2_num = fd.mul(
+
+            sh = roots.shape[:-1]
+            # layer 1: all independent products, one stacked mul
+            lhs1 = jnp.stack([roots, roots, roots, s1, s2, s3, t_next, h2, h1_next])
+            rhs1 = jnp.stack([_bc(s, sh) for s in (beta, bk1, bk2, beta, beta, beta, delta, delta, delta)])
+            p1 = fd.mul(spec, lhs1, rhs1)
+            bx, bx1, bx2, bs1, bs2, bs3, dtn, dh2, dh1n = (p1[i] for i in range(9))
+
+            ad = lambda x, y: fd.add(spec, x, y)
+            num1 = ad(ad(bx, a), gamma)
+            num2 = ad(ad(bx1, b), gamma)
+            num3 = ad(ad(bx2, c), gamma)
+            den1 = ad(ad(bs1, a), gamma)
+            den2 = ad(ad(bs2, b), gamma)
+            den3 = ad(ad(bs3, c), gamma)
+            t2f = ad(ad(dtn, eps_1pd), t)  # delta*t_next + eps(1+d) + t
+            epf = ad(_bc(epsilon, sh), f)
+            zd1 = ad(ad(dh2, eps_1pd), h1)
+            zd2 = ad(ad(dh1n, eps_1pd), h2)
+
+            # layer 2
+            p2 = fd.mul(
                 spec,
-                fd.mul(spec, one_plus_delta, fd.add(spec, epsilon, f)),
-                fd.add(spec, fd.add(spec, fd.mul(spec, delta, t_next), eps_1pd), t),
+                jnp.stack([num1, den1, epf, zd1]),
+                jnp.stack([num2, den2, t2f, zd2]),
             )
-            z2_den = fd.mul(
+            # layer 3
+            p3 = fd.mul(
                 spec,
-                fd.add(spec, fd.add(spec, fd.mul(spec, delta, h2), eps_1pd), h1),
-                fd.add(spec, fd.add(spec, fd.mul(spec, delta, h1_next), eps_1pd), h2),
+                jnp.stack([p2[0], p2[1], p2[2]]),
+                jnp.stack([num3, den3, _bc(one_pd, sh)]),
             )
+            z1_num, z1_den, z2_num = p3[0], p3[1], p3[2]
+            z2_den = p2[3]
 
             dens = jnp.stack([z1_den, z2_den])  # (2, n, L)
             dens_inv = fd.batch_inverse(spec, dens.reshape(2 * n, -1), axis=0).reshape(
@@ -144,8 +161,20 @@ class Prover:
 
         c4 = epk.coset  # name -> (4n, L)
 
-        def quotient_round(polys9, pi_evals, alpha, beta, gamma, delta, epsilon, qblinders):
-            # polys9: (8, n+4, L) [a,b,c,z1,z2,t,h1,h2]
+        def quotient_round(polys9, pi_evals, scalars, qblinders):
+            """polys9: (8, n+4, L) [a,b,c,z1,z2,t,h1,h2].
+
+            scalars: (10, L) host-prepared
+              [beta, beta*K1, beta*K2, gamma, delta, epsilon, eps(1+d),
+               alpha, alpha^3*(1+delta), alpha-powers packed below]
+            plus weight stack (7, L) for the final combination — see caller.
+
+            The pointwise pass is organized into 6 STACKED multiplies (the
+            multiplicative layers of the quotient formula) so XLA sees a
+            handful of large fused ops instead of ~60 separate mul graphs —
+            the fused-kernel equivalent of ``quotient_poly.rs:98-224``.
+            """
+            sc, weights = scalars
             pi_poly = ntt.ifft(domain, pi_evals)  # (n, L)
             padded = jnp.concatenate(
                 [
@@ -160,68 +189,72 @@ class Prover:
             tn = jnp.roll(t, -4, axis=0)
             h1n = jnp.roll(h1, -4, axis=0)
 
-            m = lambda x, y: fd.mul(spec, x, y)
             ad = lambda x, y: fd.add(spec, x, y)
             sb = lambda x, y: fd.sub(spec, x, y)
+            beta, bk1, bk2, gamma, delta, epsilon, eps_1pd = (sc[i] for i in range(7))
+            sh = a.shape[:-1]
 
-            # arithmetic contribution (``keys/arithmetic.rs:67-81``)
-            arith = ad(
-                ad(
-                    ad(m(m(a, b), c4["q_m"]), m(a, c4["q_l"])),
-                    ad(m(b, c4["q_r"]), m(c, c4["q_o"])),
-                ),
-                ad(c4["q_c"], pi),
+            def bc(s):
+                return jnp.broadcast_to(s, (*sh, spec.n_limbs))
+
+            # layer 1: independent products
+            lhs1 = jnp.stack(
+                [a, epk.x_coset, epk.x_coset, epk.x_coset,
+                 c4["sigma1"], c4["sigma2"], c4["sigma3"],
+                 c4["q_lookup"], tn, h2, h1n]
+            )
+            rhs1 = jnp.stack(
+                [b, bc(beta), bc(bk1), bc(bk2),
+                 bc(beta), bc(beta), bc(beta), c, bc(delta), bc(delta), bc(delta)]
+            )
+            p1 = fd.mul(spec, lhs1, rhs1)
+            ab, bx, bx1, bx2, bs1, bs2, bs3, qlc, dtn, dh2, dh1n = (
+                p1[i] for i in range(11)
             )
 
-            # permutation contribution (``keys/permutation.rs:97-137``)
-            k1 = fd.constant(spec, K1)
-            k2 = fd.constant(spec, K2)
-            bx = m(beta, epk.x_coset)
-            part1 = m(
-                m(alpha, z1),
-                m(
-                    m(ad(ad(bx, a), gamma), ad(ad(m(k1, bx), b), gamma)),
-                    ad(ad(m(k2, bx), c), gamma),
-                ),
+            # layer 2
+            lhs2 = jnp.stack(
+                [ab, a, b, c,
+                 ad(ad(bx, a), gamma), ad(ad(bs1, a), gamma),
+                 ad(ad(eps_1pd, t), dtn), ad(ad(eps_1pd, h1), dh2),
+                 c4["q_table"], sb(z1, one), sb(z2, one)]
             )
-            part2 = m(
-                m(alpha, z1n),
-                m(
-                    m(
-                        ad(ad(m(beta, c4["sigma1"]), a), gamma),
-                        ad(ad(m(beta, c4["sigma2"]), b), gamma),
-                    ),
-                    ad(ad(m(beta, c4["sigma3"]), c), gamma),
-                ),
+            rhs2 = jnp.stack(
+                [c4["q_m"], c4["q_l"], c4["q_r"], c4["q_o"],
+                 ad(ad(bx1, b), gamma), ad(ad(bs2, b), gamma),
+                 ad(bc(epsilon), qlc), ad(ad(eps_1pd, h2), dh1n),
+                 t, epk.l1_coset, epk.l1_coset]
             )
-            alpha_sq = m(alpha, alpha)
-            part3 = m(m(sb(z1, one), epk.l1_coset), alpha_sq)
-            perm = ad(sb(part1, part2), part3)
+            p2 = fd.mul(spec, lhs2, rhs2)
+            abqm, aql, bqr, cqo, p1a, p2a, tq, hh, qtt, l1z1, l1z2 = (
+                p2[i] for i in range(11)
+            )
 
-            # lookup contribution (``keys/lookup.rs:81-122``)
-            alpha_cu = m(alpha_sq, alpha)
-            alpha_qu = m(alpha_cu, alpha)
-            one_plus_delta = ad(one, delta)
-            eps_1pd = m(epsilon, one_plus_delta)
-            lk1 = m(
-                m(m(alpha_cu, z2), one_plus_delta),
-                m(
-                    ad(epsilon, m(c4["q_lookup"], c)),
-                    ad(ad(eps_1pd, t), m(delta, tn)),
-                ),
+            # layer 3
+            p3 = fd.mul(
+                spec,
+                jnp.stack([p1a, p2a]),
+                jnp.stack([ad(ad(bx2, c), gamma), ad(ad(bs3, c), gamma)]),
             )
-            lk2 = m(
-                m(alpha_cu, z2n),
-                m(
-                    ad(ad(eps_1pd, h1), m(delta, h2)),
-                    ad(ad(eps_1pd, h2), m(delta, h1n)),
-                ),
+            # layer 4
+            p4 = fd.mul(
+                spec,
+                jnp.stack([z1, z1n, z2, z2n]),
+                jnp.stack([p3[0], p3[1], tq, hh]),
             )
-            lk3 = m(m(alpha_qu, sb(z2, one)), epk.l1_coset)
-            lk4 = m(m(m(alpha_qu, alpha), c4["q_table"]), t)
-            lookup = ad(ad(sb(lk1, lk2), lk3), lk4)
+            # layer 5: scalar weights
+            # weights: (7, L) = [alpha, alpha, a3(1+d), a3, a^2, a^4, a^5]
+            p5 = fd.mul(
+                spec,
+                jnp.stack([p4[0], p4[1], p4[2], p4[3], l1z1, l1z2, qtt]),
+                weights[:, None, :],
+            )
 
-            q_evals = m(ad(ad(arith, perm), lookup), epk.zh_coset_inv)
+            arith = ad(ad(ad(abqm, aql), ad(bqr, cqo)), ad(c4["q_c"], pi))
+            perm = ad(sb(p5[0], p5[1]), p5[4])
+            lookup = ad(ad(sb(p5[2], p5[3]), p5[5]), p5[6])
+
+            q_evals = fd.mul(spec, ad(ad(arith, perm), lookup), epk.zh_coset_inv)
             q = ntt.coset_ifft(domain4, q_evals)  # (4n, L)
 
             b0 = qblinders[0]
@@ -329,16 +362,19 @@ class Prover:
         assert len(challenges) == 4, "challenges must be different"
 
         z_blinders = _blinders(spec, rng, p, [3, 3])
+        eps_1pd = epsilon * (1 + delta) % p
+        z_scalars = _enc_vec(
+            spec,
+            [beta, beta * K1 % p, beta * K2 % p, gamma, delta, eps_1pd,
+             (1 + delta) % p, epsilon],
+        )
         z_polys, z_commits = self._z_round(
             wires,
             jnp.asarray(ints_to_array(f_ints, spec.n_limbs)),
             lookup_evals[0],
             lookup_evals[1],
             lookup_evals[2],
-            _enc_scalar(spec, beta),
-            _enc_scalar(spec, gamma),
-            _enc_scalar(spec, delta),
-            _enc_scalar(spec, epsilon),
+            z_scalars,
             z_blinders,
         )
         z_aff = self._to_host_points(z_commits)
@@ -362,14 +398,21 @@ class Prover:
             ]
         )
         q_blinders = _enc_vec(spec, [rng.randrange(p), rng.randrange(p)])
+        a2 = alpha * alpha % p
+        a3 = a2 * alpha % p
+        a4 = a3 * alpha % p
+        a5 = a4 * alpha % p
+        q_scalars = _enc_vec(
+            spec,
+            [beta, beta * K1 % p, beta * K2 % p, gamma, delta, epsilon, eps_1pd],
+        )
+        q_weights = _enc_vec(
+            spec, [alpha, alpha, a3 * (1 + delta) % p, a3, a2, a4, a5]
+        )
         q_polys, q_commits = self._quotient_round(
             polys8,
             pi_evals,
-            _enc_scalar(spec, alpha),
-            _enc_scalar(spec, beta),
-            _enc_scalar(spec, gamma),
-            _enc_scalar(spec, delta),
-            _enc_scalar(spec, epsilon),
+            (q_scalars, q_weights),
             q_blinders,
         )
         q_aff = self._to_host_points(q_commits)

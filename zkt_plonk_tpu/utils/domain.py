@@ -51,26 +51,24 @@ class Domain:
         """zh(x) = x^n - 1."""
         return (pow(x, self.size, self.modulus) - 1) % self.modulus
 
-    # -- twiddle tables (Montgomery limb arrays) ---------------------------
-
-    def stage_twiddles(self, inverse: bool = False) -> List[np.ndarray]:
-        """Per-stage twiddle arrays for the iterative DIT NTT.
-
-        Stage s (s = 1..log_n) has block size m = 2^s and needs
-        w_m^j for j in [0, m/2), where w_m = omega^(n/m).
-        """
-        return _stage_twiddles_cached(self, inverse)
+    # -- precomputed tables (limb arrays) ----------------------------------
 
     def bit_reversal_perm(self) -> np.ndarray:
         return _bitrev_cached(self.log_size)
 
     def powers_array(self, base: int, count: int) -> np.ndarray:
-        """Limb array of [1, base, base^2, ...]."""
+        """Limb array of [1, base, base^2, ...] (cached)."""
+        key = (self.spec.params.name, base, count)
+        cached = _powers_cache.get(key)
+        if cached is not None:
+            return cached
         p = self.modulus
         vals = [1] * count
         for i in range(1, count):
             vals[i] = vals[i - 1] * base % p
-        return ints_to_array(vals, self.spec.n_limbs)
+        arr = ints_to_array(vals, self.spec.n_limbs)
+        _powers_cache[key] = arr
+        return arr
 
 
 @lru_cache(maxsize=64)
@@ -83,25 +81,7 @@ def _bitrev_cached(log_n: int) -> np.ndarray:
     return rev.astype(np.int32)
 
 
-_twiddle_cache = {}
-
-
-def _stage_twiddles_cached(domain: Domain, inverse: bool):
-    key = (domain.spec.params.name, domain.log_size, inverse)
-    if key in _twiddle_cache:
-        return _twiddle_cache[key]
-    p = domain.modulus
-    root = domain.group_gen_inv if inverse else domain.group_gen
-    out = []
-    for s in range(1, domain.log_size + 1):
-        m = 1 << s
-        wm = pow(root, domain.size // m, p)
-        vals = [1] * (m // 2)
-        for j in range(1, m // 2):
-            vals[j] = vals[j - 1] * wm % p
-        out.append(ints_to_array(vals, domain.spec.n_limbs))
-    _twiddle_cache[key] = out
-    return out
+_powers_cache = {}
 
 
 @lru_cache(maxsize=None)
