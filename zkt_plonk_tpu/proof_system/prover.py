@@ -299,6 +299,29 @@ class Prover:
 
         self._open_batch = jax.jit(open_batch)
 
+        def fused_core(wires, f, t_evals, h1, h2, pi_evals, z_scalars, q_scalars,
+                       q_weights, blinders_abc, blinders_th, blinders_z, qblinders):
+            """Rounds 1-4 device work as ONE program (fixed challenges).
+
+            Used for multi-chip dry-runs and throughput benchmarking: the
+            full compute path (batched iNTTs, grand-product scans, fused
+            quotient coset pass, all MSM commits) without the host
+            transcript round-trips.
+            """
+            abc_polys, abc_commits = commit_batch(wires, blinders_abc)
+            th_evals = jnp.stack([t_evals, h1, h2])
+            th_polys, th_commits = commit_batch(th_evals, blinders_th)
+            z_polys, z_commits = z_round(
+                wires, f, t_evals, h1, h2, z_scalars, blinders_z
+            )
+            polys8 = jnp.concatenate([abc_polys, z_polys, th_polys])
+            q_polys, q_commits = quotient_round(
+                polys8, pi_evals, (q_scalars, q_weights), qblinders
+            )
+            return abc_commits, th_commits, z_commits, q_commits, q_polys
+
+        self._fused_core = fused_core  # caller jits (with shardings)
+
     # ------------------------------------------------------------------
     # host orchestration
     # ------------------------------------------------------------------
