@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
 
 from .variable import LTVariable, VariableMap, ZERO
+from .trace import GateTrace, trace_enabled
 
 # coset generators for the permutation argument (``permutation/constants.rs``)
 K1 = 7
@@ -152,6 +153,7 @@ class SetupComposer:
         self.q_lookup: List[int] = []
         self.perm = Permutation()
         self.pp: List[int] = []  # sorted PI gate positions
+        self.trace = GateTrace() if trace_enabled() else None
 
     def gate_constrain(self, w_l: int, w_r: int, w_o: int, sels: Selectors, with_pi: bool):
         self.q_m.append(sels.q_m)
@@ -163,6 +165,8 @@ class SetupComposer:
         self.perm.add_variables_to_map(w_l, w_r, w_o, self.n)
         if with_pi:
             self.pp.append(self.n)
+        if self.trace is not None:
+            self.trace.record()
         self.n += 1
 
     def pad_to(self, n: int):

@@ -37,7 +37,7 @@ def check_gate(
         c = vm.value_of(proving.w_o[i])
         pi = pi_evals[i]
         if i not in pp and pi != 0:
-            raise AssertionError(f"public input at {i} is not satisfied")
+            raise AssertionError(_gate_err(setup, i, "public input"))
         arith = (
             setup.q_m[i] * a * b
             + setup.q_l[i] * a
@@ -47,10 +47,17 @@ def check_gate(
             + setup.q_c[i]
         ) % p
         if arith != 0:
-            raise AssertionError(f"arithmetic gate at {i} is not satisfied")
+            raise AssertionError(_gate_err(setup, i, "arithmetic gate"))
         query = setup.q_lookup[i] * c % p
         if query != 0 and not table.contains(query):
-            raise AssertionError(f"lookup gate at {i} is not satisfied")
+            raise AssertionError(_gate_err(setup, i, "lookup gate"))
+
+
+def _gate_err(setup, i: int, kind: str) -> str:
+    msg = f"{kind} at {i} is not satisfied"
+    if getattr(setup, "trace", None) is not None:
+        msg += "\n" + setup.trace.explain(i)
+    return msg
 
 
 def test_gate_constraints(
