@@ -154,10 +154,44 @@ class Poseidon:
     # -- FieldHasher interface (``hasher/mod.rs:8-34``) --------------------
 
     def hash(self, cs, inputs: List) -> Union[int, LTVariable]:
+        if self.native:
+            out = self._hash_native_fast(inputs)
+            if out is not None:
+                return out
         self._reset()
         for el in inputs:
             self.input(el)
         return self.output_hash(cs)
+
+    def _hash_native_fast(self, inputs):
+        """C++ fast path (``native/zkt_native.cpp``); un-filled state slots
+        are zero, matching the Python sponge semantics."""
+        arity = self.constants.width - 1
+        if len(inputs) > arity:
+            raise FullBufferError("cannot input more elements than arity")
+        try:
+            from ... import _native
+        except ImportError:
+            return None
+        row = [int(v) for v in inputs] + [0] * (arity - len(inputs))
+        out = _native.poseidon_hash_batch(self.constants, [row])
+        return out[0] if out else None
+
+    @classmethod
+    def hash_many_native(cls, constants, rows) -> List[int]:
+        """Batched native hashing (e.g. bulk Merkle building); each row may
+        have up to arity elements (zero-padded)."""
+        arity = constants.width - 1
+        padded = [[int(v) for v in r] + [0] * (arity - len(r)) for r in rows]
+        try:
+            from ... import _native
+
+            out = _native.poseidon_hash_batch(constants, padded)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
+        return [cls(constants, native=True).hash(None, r) for r in rows]
 
     def hash_two(self, cs, left, right):
         return self.hash(cs, [left, right])
