@@ -106,9 +106,15 @@ def trim(ck: CommitterKey, cvk: VerifierKeyKZG, degree: int):
 # ---------------------------------------------------------------------------
 
 
-def commit_device(ck: CommitterKey, coeffs: jnp.ndarray, c: int = msm.DEFAULT_WINDOW):
-    """coeffs: (m, L) canonical -> projective commitment point (3, L) (device)."""
+def commit_device(ck: CommitterKey, coeffs: jnp.ndarray, c: int = 0):
+    """coeffs: (m, L) canonical -> projective commitment point (3, L) (device).
+
+    Window size defaults adaptively: log2(m)-sized buckets keep the
+    bucket-reduction work proportional to the point count.
+    """
     m = coeffs.shape[0]
+    if c <= 0:
+        c = max(2, min(msm.DEFAULT_WINDOW, m.bit_length() - 3))
     fr_bits = ck.ctx.curve.fr.modulus.bit_length()
     return msm.msm(ck.ctx.fq_spec, ck.b3, ck.powers[:m], coeffs, fr_bits, c=c)
 
