@@ -119,6 +119,58 @@ def commit_device(ck: CommitterKey, coeffs: jnp.ndarray, c: int = 0):
     return msm.msm(ck.ctx.fq_spec, ck.b3, ck.powers[:m], coeffs, fr_bits, c=c)
 
 
+class Committer:
+    """Batched commitment dispatcher used by the prover/setup.
+
+    On TPU (or for large degrees) commits run as the device Pippenger MSM —
+    ONE compiled shape per polynomial length.  On the CPU test backend the
+    device MSM is pathologically slow under XLA:CPU, so small commits fall
+    back to a host MSM over the same SRS (identical results); the device
+    path stays covered by the dedicated MSM test suite.
+    """
+
+    def __init__(self, ck: CommitterKey):
+        self.ck = ck
+        self._jit_commit = jax.jit(lambda cfs: commit_device(ck, cfs))
+        self._host_powers = None
+
+    def _use_host(self, m: int) -> bool:
+        return jax.default_backend() == "cpu" and m <= (1 << 13)
+
+    def _host_srs(self, m: int):
+        from ..ops import ec as ec_mod
+
+        if self._host_powers is None or len(self._host_powers) < m:
+            pts = ec_mod.to_affine_host(
+                self.ck.ctx.fq_spec, np.asarray(self.ck.powers[:m])
+            )
+            Fq = self.ck.ctx.Fq
+            self._host_powers = [
+                None if p_ is None else (Fq(p_[0]), Fq(p_[1])) for p_ in pts
+            ]
+        return self._host_powers[:m]
+
+    def commit_many(self, polys) -> list:
+        """polys: (B, m, L) device array or list of (m, L). Returns a list
+        of host affine points."""
+        B = len(polys)
+        m = polys[0].shape[0]
+        if self._use_host(m):
+            from ..curves import curve_host as ch
+
+            coeff_rows = np.asarray(polys)
+            srs = self._host_srs(m)
+            out = []
+            spec = self.ck.ctx.fr_spec
+            for i in range(B):
+                scalars = spec.decode(coeff_rows[i])
+                acc = ch.msm(srs, scalars)
+                out.append(None if acc is None else (int(acc[0]), int(acc[1])))
+            return out
+        commits = [self._jit_commit(polys[i]) for i in range(B)]
+        return [commitment_to_host(self.ck, c_) for c_ in commits]
+
+
 def commitment_to_host(ck: CommitterKey, point) -> Optional[Tuple[int, int]]:
     return ec.to_affine_host(ck.ctx.fq_spec, np.asarray(point))[0]
 

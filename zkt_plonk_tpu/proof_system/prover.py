@@ -86,13 +86,15 @@ class Prover:
             return padded.at[:, :4, :].set(head)
 
         def commit_batch(evals, blinders):
+            """iNTT + blinding; commitments happen OUTSIDE the jitted graph
+            (via kzg.Committer) so the MSM compiles once per shape and the
+            CPU test backend can use the host fallback."""
             coeffs = ntt.ifft(domain, evals)  # (B, n, L)
             padded = jnp.pad(coeffs, ((0, 0), (0, 4), (0, 0)))
-            polys = blind(padded, blinders)
-            commits = jax.lax.map(lambda c: kzg.commit_device(ck, c), polys)
-            return polys, commits
+            return blind(padded, blinders)
 
         self._commit_batch = jax.jit(commit_batch)
+        self.committer = kzg.Committer(ck)
 
         one = fd.one(spec)
 
@@ -155,7 +157,7 @@ class Prover:
             shifted = shifted.at[:, 0, :].set(one)
             z_evals = fd.prefix_products(spec, shifted, axis=1)
 
-            return commit_batch(z_evals, blinders)
+            return commit_batch(z_evals, blinders)  # returns blinded polys
 
         self._z_round = jax.jit(z_round)
 
@@ -267,9 +269,7 @@ class Prover:
             q_hi = q[2 * n + 4 : 3 * n + 8]
             q_hi = q_hi.at[0].set(fd.sub(spec, q_hi[0], b1))
 
-            q_polys = jnp.stack([q_lo, q_mid, q_hi])  # (3, n+4, L)
-            commits = jax.lax.map(lambda cfs: kzg.commit_device(ck, cfs), q_polys)
-            return q_polys, commits
+            return jnp.stack([q_lo, q_mid, q_hi])  # (3, n+4, L)
 
         self._quotient_round = jax.jit(quotient_round)
 
@@ -294,8 +294,7 @@ class Prover:
             folded = folded_terms[0]
             for i in range(1, folded_terms.shape[0]):
                 folded = fd.add(spec, folded, folded_terms[i])
-            w = kzg.divide_by_linear(spec, folded, pt_powers, pt_inv_powers)
-            return kzg.commit_device(ck, w)
+            return kzg.divide_by_linear(spec, folded, pt_powers, pt_inv_powers)
 
         self._open_batch = jax.jit(open_batch)
 
@@ -308,17 +307,19 @@ class Prover:
             quotient coset pass, all MSM commits) without the host
             transcript round-trips.
             """
-            abc_polys, abc_commits = commit_batch(wires, blinders_abc)
+            abc_polys = commit_batch(wires, blinders_abc)
             th_evals = jnp.stack([t_evals, h1, h2])
-            th_polys, th_commits = commit_batch(th_evals, blinders_th)
-            z_polys, z_commits = z_round(
-                wires, f, t_evals, h1, h2, z_scalars, blinders_z
-            )
+            th_polys = commit_batch(th_evals, blinders_th)
+            z_polys = z_round(wires, f, t_evals, h1, h2, z_scalars, blinders_z)
             polys8 = jnp.concatenate([abc_polys, z_polys, th_polys])
-            q_polys, q_commits = quotient_round(
+            q_polys = quotient_round(
                 polys8, pi_evals, (q_scalars, q_weights), qblinders
             )
-            return abc_commits, th_commits, z_commits, q_commits, q_polys
+            all_polys = jnp.concatenate([abc_polys, th_polys, z_polys, q_polys])
+            commits = jax.lax.map(
+                lambda cfs: kzg.commit_device(ck, cfs), all_polys
+            )
+            return commits, q_polys
 
         self._fused_core = fused_core  # caller jits (with shardings)
 
@@ -327,6 +328,8 @@ class Prover:
     # ------------------------------------------------------------------
 
     def prove(self, composer: ProvingComposer, transcript, rng) -> Proof:
+        from ..utils.profiling import section
+
         n, p, spec = self.n, self.p, self.spec
         ck = self.ck
         composer.pad_to(n)
@@ -335,7 +338,8 @@ class Prover:
         transcript.append_scalars("pi", composer.pi_values())
 
         # --- round 1: wire polynomials --------------------------------
-        a_ints, b_ints, c_ints = composer.wire_evals()
+        with section("witness gather"):
+            a_ints, b_ints, c_ints = composer.wire_evals()
         wires = jnp.asarray(
             np.stack(
                 [
@@ -346,8 +350,9 @@ class Prover:
             )
         )
         wire_blinders = _blinders(spec, rng, p, [2, 2, 2])
-        abc_polys, abc_commits = self._commit_batch(wires, wire_blinders)
-        abc_aff = self._to_host_points(abc_commits)
+        with section("round1 commit a/b/c"):
+            abc_polys = self._commit_batch(wires, wire_blinders)
+            abc_aff = self.committer.commit_many(abc_polys)
         transcript.append_commitment("a_commit", abc_aff[0])
         transcript.append_commitment("b_commit", abc_aff[1])
         transcript.append_commitment("c_commit", abc_aff[2])
@@ -370,8 +375,9 @@ class Prover:
             )
         )
         lookup_blinders = _blinders(spec, rng, p, [0, 3, 2])
-        th_polys, th_commits = self._commit_batch(lookup_evals, lookup_blinders)
-        th_aff = self._to_host_points(th_commits)
+        with section("round2 commit t/h1/h2"):
+            th_polys = self._commit_batch(lookup_evals, lookup_blinders)
+            th_aff = self.committer.commit_many(th_polys)
         transcript.append_commitment("t_commit", th_aff[0])
         transcript.append_commitment("h1_commit", th_aff[1])
         transcript.append_commitment("h2_commit", th_aff[2])
@@ -391,16 +397,17 @@ class Prover:
             [beta, beta * K1 % p, beta * K2 % p, gamma, delta, eps_1pd,
              (1 + delta) % p, epsilon],
         )
-        z_polys, z_commits = self._z_round(
-            wires,
-            jnp.asarray(ints_to_array(f_ints, spec.n_limbs)),
-            lookup_evals[0],
-            lookup_evals[1],
-            lookup_evals[2],
-            z_scalars,
-            z_blinders,
-        )
-        z_aff = self._to_host_points(z_commits)
+        with section("round3 z1/z2"):
+            z_polys = self._z_round(
+                wires,
+                jnp.asarray(ints_to_array(f_ints, spec.n_limbs)),
+                lookup_evals[0],
+                lookup_evals[1],
+                lookup_evals[2],
+                z_scalars,
+                z_blinders,
+            )
+            z_aff = self.committer.commit_many(z_polys)
         transcript.append_commitment("z1_commit", z_aff[0])
         transcript.append_commitment("z2_commit", z_aff[1])
 
@@ -432,13 +439,14 @@ class Prover:
         q_weights = _enc_vec(
             spec, [alpha, alpha, a3 * (1 + delta) % p, a3, a2, a4, a5]
         )
-        q_polys, q_commits = self._quotient_round(
-            polys8,
-            pi_evals,
-            (q_scalars, q_weights),
-            q_blinders,
-        )
-        q_aff = self._to_host_points(q_commits)
+        with section("round4 quotient"):
+            q_polys = self._quotient_round(
+                polys8,
+                pi_evals,
+                (q_scalars, q_weights),
+                q_blinders,
+            )
+            q_aff = self.committer.commit_many(q_polys)
         transcript.append_commitment("q_lo_commit", q_aff[0])
         transcript.append_commitment("q_mid_commit", q_aff[1])
         transcript.append_commitment("q_hi_commit", q_aff[2])
@@ -472,7 +480,9 @@ class Prover:
         polys_wxi = jnp.stack(
             [z_polys[0], th_polys[0], z_polys[1], th_polys[1]]
         )  # z1, t, z2, h1
-        ev_xi, ev_wxi = self._evaluate(polys_xi, polys_wxi, xi_powers, wxi_powers)
+        with section("round5 evaluations"):
+            ev_xi, ev_wxi = self._evaluate(polys_xi, polys_wxi, xi_powers, wxi_powers)
+            jax.block_until_ready(ev_xi)
         ev_xi_i = spec.decode(np.asarray(ev_xi))
         ev_wxi_i = spec.decode(np.asarray(ev_wxi))
 
@@ -501,9 +511,10 @@ class Prover:
             evals, alpha, beta, gamma, delta, epsilon, xi, zh_eval, l1_eval,
             pk_padded, abc_polys, z_polys, th_polys, q_polys,
         )
-        r_poly = self._linearize(
-            jnp.stack(poly_list), _enc_vec(spec, scalars)
-        )
+        with section("linearization"):
+            r_poly = self._linearize(
+                jnp.stack(poly_list), _enc_vec(spec, scalars)
+            )
 
         # --- openings --------------------------------------------------
         eta = transcript.challenge_scalar("eta")
@@ -526,13 +537,14 @@ class Prover:
         xi_inv_powers = _inv_powers_arr(spec, xi, n + 4, p)
         wxi_inv_powers = _inv_powers_arr(spec, wxi, n + 4, p)
 
-        aw_commit = self._open_batch(
-            aw_polys, _eta_powers(spec, eta, 9, p), xi_powers, xi_inv_powers
-        )
-        saw_commit = self._open_batch(
-            saw_polys, _eta_powers(spec, eta, 4, p), wxi_powers, wxi_inv_powers
-        )
-        aw_aff, saw_aff = self._to_host_points(jnp.stack([aw_commit, saw_commit]))
+        with section("openings"):
+            aw_w = self._open_batch(
+                aw_polys, _eta_powers(spec, eta, 9, p), xi_powers, xi_inv_powers
+            )
+            saw_w = self._open_batch(
+                saw_polys, _eta_powers(spec, eta, 4, p), wxi_powers, wxi_inv_powers
+            )
+            aw_aff, saw_aff = self.committer.commit_many(jnp.stack([aw_w, saw_w]))
 
         return Proof(
             a_commit=abc_aff[0],

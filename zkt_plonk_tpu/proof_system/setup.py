@@ -67,11 +67,12 @@ def setup(
 
     polys_arr = _batch_ifft(domain, evals_arr)  # (10, n, L)
 
-    # batch-commit the 10 polynomials (``setup.rs:104-121``)
-    commits = {}
-    commit_fn = _commit_fn(ck, n)
-    for i, name in enumerate(POLY_ORDER):
-        commits[name] = kzg.commitment_to_host(ck, commit_fn(polys_arr[i]))
+    # batch-commit the 10 polynomials (``setup.rs:104-121``); commit at
+    # n+4 coefficients — the same padded shape the prover uses for witness
+    # polynomials — so one compiled MSM serves the whole pipeline
+    padded = jnp.pad(polys_arr, ((0, 0), (0, 4), (0, 0)))
+    commit_points = kzg.Committer(ck).commit_many(padded)
+    commits = {name: commit_points[i] for i, name in enumerate(POLY_ORDER)}
 
     pk = ProverKey(n=n, polys={name: polys_arr[i] for i, name in enumerate(POLY_ORDER)})
     vk = VerifierKey(
@@ -87,10 +88,6 @@ def setup(
 
 def _batch_ifft(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
     return jax.jit(lambda e: ntt.ifft(domain, e))(evals)
-
-
-def _commit_fn(ck: kzg.CommitterKey, n: int):
-    return jax.jit(lambda c: kzg.commit_device(ck, c))
 
 
 def extend_prover_key(
