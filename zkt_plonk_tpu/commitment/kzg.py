@@ -113,8 +113,6 @@ def commit_device(ck: CommitterKey, coeffs: jnp.ndarray, c: int = 0):
     bucket-reduction work proportional to the point count.
     """
     m = coeffs.shape[0]
-    if c <= 0:
-        c = max(2, min(msm.DEFAULT_WINDOW, m.bit_length() - 3))
     fr_bits = ck.ctx.curve.fr.modulus.bit_length()
     return msm.msm(ck.ctx.fq_spec, ck.b3, ck.powers[:m], coeffs, fr_bits, c=c)
 

@@ -3,26 +3,24 @@
 Replaces arkworks ``VariableBaseMSM`` (``plonk-core/src/commitment.rs:42``)
 — the engine behind every KZG commit/open in the reference.
 
-TPU-first design (no data-dependent scatter):
-  * scalars are split into c-bit windows (digit extraction is pure bit
-    arithmetic on the 16-bit limb arrays);
-  * per window: points are SORTED by digit (XLA sort), bucket sums fall out
-    of an inclusive prefix scan of complete EC adds (log2 n dense steps)
-    sliced at bucket boundaries (searchsorted on the sorted digits);
-  * bucket-weighted reduction uses the telescoping identity
-        Σ k·B_k = (K-1)·E_{K-1} - Σ_{j<K-1} E_j
-    where E_k are prefix sums at bucket ends — a *tree* reduction instead of
-    the sequential running-sum loop;
-  * windows are mapped with ``lax.map`` so the per-window program compiles
-    once and memory stays O(n) instead of O(W·n).
+TPU-first design (no data-dependent control flow, no sorting):
+  * scalars split into c-bit windows (pure bit arithmetic on limb arrays);
+  * bucket accumulation uses G parallel GROUPS per window: each group owns
+    a private (2^c)-bucket array, and a ``fori_loop`` walks the group's
+    points adding each into its digit's bucket via gather + complete-EC-add
+    + scatter.  Distinct groups write disjoint slices, so there are no
+    scatter collisions; total work is the optimal W*n EC adds;
+  * group bucket arrays merge by halving (log G vectorized adds);
+  * the weighted bucket reduction Σ k*B_k is two suffix-sum scans
+    (Σ_{k≥1} Σ_{j≥k} B_j), each log2(2^c) dense steps over all windows;
+  * windows fold with c doublings + 1 add per window under fori_loop.
 
-Fixed-base MSM (for SRS generation / verifier precomputation) uses
+Fixed-base MSM (SRS generation / verifier precomputation) uses
 host-precomputed window tables and W gather+add steps.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -56,69 +54,32 @@ def window_digits(scalars: jnp.ndarray, c: int, fr_bits: int) -> jnp.ndarray:
     return jnp.stack(digits)
 
 
-def _prefix_scan_points(spec: FieldSpec, b3, pts: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix 'sums' (EC adds) along axis 0 — Hillis-Steele.
-
-    The doubling loop runs under ``fori_loop`` so the (large) complete-add
-    subgraph is traced/compiled exactly once regardless of n.
-    """
-    n = pts.shape[0]
-    if n == 1:
+def _suffix_scan_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive suffix 'sums' (EC adds) along ``axis`` — Hillis-Steele
+    under fori_loop (one compiled complete-add body)."""
+    k = pts.shape[axis]
+    if k == 1:
         return pts
-    steps = (n - 1).bit_length()
-    idx = jnp.arange(n)[:, None, None]
+    steps = (k - 1).bit_length()
+    idx_shape = [1] * pts.ndim
+    idx_shape[axis] = k
+    idx = jnp.arange(k).reshape(idx_shape)
 
     def body(i, y):
         d = jnp.int32(1) << i
-        shifted = jnp.roll(y, d, axis=0)
+        shifted = jnp.roll(y, -d, axis=axis)
         summed = ec.add(spec, b3, y, shifted)
-        return jnp.where(idx >= d, summed, y)
+        return jnp.where(idx < k - d, summed, y)
 
     return jax.lax.fori_loop(0, steps, body, pts)
 
 
-def _sum_points(spec: FieldSpec, b3, pts: jnp.ndarray) -> jnp.ndarray:
-    """Sum of points along axis 0 (via the shared prefix-scan body)."""
-    return _prefix_scan_points(spec, b3, pts)[-1]
-
-
-def _scalar_mul_small(spec: FieldSpec, b3, pt: jnp.ndarray, k: int) -> jnp.ndarray:
-    """pt * k for a small static k (double-and-add under fori_loop)."""
-    if k == 0:
-        return ec.identity(spec)
-    nbits = k.bit_length()
-    bits = jnp.asarray(
-        np.array([(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32)
-    )
-
-    def body(i, acc):
-        acc = ec.add(spec, b3, acc, acc)
-        with_add = ec.add(spec, b3, acc, pt)
-        return jnp.where(bits[i] > 0, with_add, acc)
-
-    return jax.lax.fori_loop(0, nbits, body, ec.identity(spec))
-
-
-def _window_total(spec: FieldSpec, b3, points: jnp.ndarray, c: int, digits: jnp.ndarray):
-    """Bucket-accumulate one window; returns Σ_k k·B_k as a single point."""
-    K = 1 << c
-    order = jnp.argsort(digits)
-    d_sorted = digits[order]
-    pts_sorted = points[order]
-    # digit-0 points contribute nothing; replace with identity so the
-    # prefix scan stays exact at bucket boundaries
-    pts_sorted = ec.select((d_sorted == 0), ec.identity(spec, d_sorted.shape), pts_sorted)
-
-    S = _prefix_scan_points(spec, b3, pts_sorted)
-
-    cum = jnp.searchsorted(d_sorted, jnp.arange(K, dtype=jnp.uint32), side="right")
-    E = S[jnp.clip(cum - 1, 0, None)]
-    E = ec.select(cum == 0, ec.identity(spec, (K,)), E)
-
-    # Σ_{k=1}^{K-1} k·B_k = (K-1)·E_{K-1} - Σ_{j=0}^{K-2} E_j
-    top = _scalar_mul_small(spec, b3, E[K - 1], K - 1)
-    rest = _sum_points(spec, b3, E[: K - 1])
-    return ec.add(spec, b3, top, ec.neg(spec, rest))
+def _pick_params(n: int, c: int) -> Tuple[int, int]:
+    if c <= 0:
+        c = 4 if n <= (1 << 12) else 6
+    groups = min(256, max(8, n // 128))
+    # keep the bucket tensor bounded (~256 MB for the largest configs)
+    return c, groups
 
 
 def msm(
@@ -127,25 +88,66 @@ def msm(
     points: jnp.ndarray,
     scalars: jnp.ndarray,
     fr_bits: int,
-    c: int = DEFAULT_WINDOW,
+    c: int = 0,
+    groups: int = 0,
 ) -> jnp.ndarray:
     """Σ scalars_i · points_i.
 
     points: (n, 3, L) projective over Fq; scalars: (n, Lr) canonical limbs.
     Returns a single projective point (3, L).
     """
+    n = points.shape[0]
+    c, g_auto = _pick_params(n, c)
+    G = groups if groups > 0 else g_auto
+    K = 1 << c
+    W = num_windows(fr_bits, c)
+    L = fq_spec.n_limbs
+
     digits = window_digits(scalars, c, fr_bits)  # (W, n)
 
-    totals = jax.lax.map(
-        partial(_window_total, fq_spec, b3, points, c), digits
-    )  # (W, 3, L)
+    S = -(-n // G)  # points per group
+    n_pad = S * G
+    if n_pad != n:
+        points = jnp.concatenate([points, ec.identity(fq_spec, (n_pad - n,))])
+        digits = jnp.pad(digits, ((0, 0), (0, n_pad - n)))
 
-    W = totals.shape[0]
+    pts_steps = points.reshape(S, G, 3, L)
+    dig_steps = digits.reshape(W, S, G)
+
+    w_idx = jnp.arange(W)[:, None]  # (W, 1)
+    g_idx = jnp.arange(G)[None, :]  # (1, G)
+    buckets0 = ec.identity(fq_spec, (W, G, K))
+
+    def body(j, buckets):
+        p_j = pts_steps[j]  # (G, 3, L)
+        d_j = dig_steps[:, j, :]  # (W, G)
+        cur = buckets[w_idx, g_idx, d_j]  # (W, G, 3, L)
+        upd = ec.add(fq_spec, b3, cur, p_j[None])
+        return buckets.at[w_idx, g_idx, d_j].set(upd)
+
+    buckets = jax.lax.fori_loop(0, S, body, buckets0)
+
+    # merge groups by halving (digit-0 buckets carry junk but are never
+    # weighted below)
+    g = G
+    while g > 1:
+        half = g // 2
+        merged = ec.add(fq_spec, b3, buckets[:, :half], buckets[:, half : 2 * half])
+        if g % 2:
+            merged = merged.at[:, 0].set(
+                ec.add(fq_spec, b3, merged[:, 0], buckets[:, g - 1])
+            )
+        buckets = merged
+        g = half
+    B = buckets[:, 0]  # (W, K, 3, L)
+
+    # Σ_{k=1}^{K-1} k·B_k = Σ_{j≥1} Σ_{k≥j} B_k : two suffix scans
+    s1 = _suffix_scan_points(fq_spec, b3, B, axis=1)
+    s2 = _suffix_scan_points(fq_spec, b3, s1, axis=1)
+    totals = s2[:, 1]  # (W, 3, L)
 
     def fold(w, acc):
-        acc = jax.lax.fori_loop(
-            0, c, lambda _, a: ec.add(fq_spec, b3, a, a), acc
-        )
+        acc = jax.lax.fori_loop(0, c, lambda _, a: ec.add(fq_spec, b3, a, a), acc)
         return ec.add(fq_spec, b3, acc, totals[W - 1 - w])
 
     return jax.lax.fori_loop(0, W, fold, ec.identity(fq_spec))
