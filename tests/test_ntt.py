@@ -35,11 +35,11 @@ def test_fft_ifft_roundtrip_and_values(n):
     coeffs = [rng.randrange(p) for _ in range(n)]
     C = jnp.asarray(dom.spec.encode(coeffs))
 
-    evals = jax.jit(lambda c: ntt.fft(dom, c))(C)
+    evals = jax.jit(lambda pl, c: ntt.fft(dom.spec, pl, c))(dom.plan(), C)
     got = dom.spec.decode(np.asarray(evals))
     assert got == naive_eval(coeffs, dom.elements(), p)
 
-    back = jax.jit(lambda e: ntt.ifft(dom, e))(evals)
+    back = jax.jit(lambda pl, e: ntt.ifft(dom.spec, pl, e))(dom.plan(), evals)
     assert dom.spec.decode(np.asarray(back)) == coeffs
 
 
@@ -51,12 +51,12 @@ def test_coset_fft():
     coeffs = [rng.randrange(p) for _ in range(n)]
     C = jnp.asarray(dom.spec.encode(coeffs))
 
-    evals = jax.jit(lambda c: ntt.coset_fft(dom, c))(C)
+    evals = jax.jit(lambda pl, c: ntt.coset_fft(dom.spec, pl, c))(dom.plan(), C)
     g = dom.coset_gen
     pts = [g * w % p for w in dom.elements()]
     assert dom.spec.decode(np.asarray(evals)) == naive_eval(coeffs, pts, p)
 
-    back = jax.jit(lambda e: ntt.coset_ifft(dom, e))(evals)
+    back = jax.jit(lambda pl, e: ntt.coset_ifft(dom.spec, pl, e))(dom.plan(), evals)
     assert dom.spec.decode(np.asarray(back)) == coeffs
 
 
@@ -67,7 +67,7 @@ def test_batched_fft():
     p = dom.modulus
     polys = [[rng.randrange(p) for _ in range(n)] for _ in range(3)]
     C = jnp.stack([jnp.asarray(dom.spec.encode(c)) for c in polys])
-    evals = jax.jit(lambda c: ntt.fft(dom, c))(C)
+    evals = jax.jit(lambda pl, c: ntt.fft(dom.spec, pl, c))(dom.plan(), C)
     for k in range(3):
         assert dom.spec.decode(np.asarray(evals[k])) == naive_eval(polys[k], dom.elements(), p)
 

@@ -78,7 +78,9 @@ def setup(
     b3 = ec.b3_const(fq_spec, ctx.curve.b)
     tables = jnp.asarray(msm.fixed_base_tables(ctx, ctx.g1, c=8))
     scalars = jnp.asarray(ints_to_array(powers_int, fr_spec.n_limbs))
-    powers = _jit_fixed_base(fq_spec, b3, tables, scalars, r.bit_length())
+    powers = jax.jit(
+        lambda t, s, b: msm.fixed_base_msm(fq_spec, b, t, s, r.bit_length(), c=8)
+    )(tables, scalars, b3)
 
     ck = CommitterKey(ctx=ctx, powers=powers, b3=b3)
     cvk = VerifierKeyKZG(
@@ -88,13 +90,6 @@ def setup(
         tau_g2=ch.scalar_mul(ctx.g2, tau),
     )
     return ck, cvk
-
-
-def _jit_fixed_base(fq_spec, b3, tables, scalars, fr_bits):
-    f = jax.jit(
-        lambda t, s: msm.fixed_base_msm(fq_spec, b3, t, s, fr_bits, c=8),
-    )
-    return f(tables, scalars)
 
 
 def trim(ck: CommitterKey, cvk: VerifierKeyKZG, degree: int):
@@ -129,7 +124,15 @@ class Committer:
 
     def __init__(self, ck: CommitterKey):
         self.ck = ck
-        self._jit_commit = jax.jit(lambda cfs: commit_device(ck, cfs))
+        fr_bits = ck.ctx.curve.fr.modulus.bit_length()
+
+        # powers/b3 are jit ARGUMENTS (closed-over arrays become constants
+        # and poison the limb-multiply compile — see CLAUDE.md)
+        def _commit(coeffs, powers, b3):
+            m = coeffs.shape[0]
+            return msm.msm(ck.ctx.fq_spec, b3, powers[:m], coeffs, fr_bits)
+
+        self._jit_commit = jax.jit(_commit)
         self._host_powers = None
 
     def _use_host(self, m: int) -> bool:
@@ -165,7 +168,9 @@ class Committer:
                 acc = ch.msm(srs, scalars)
                 out.append(None if acc is None else (int(acc[0]), int(acc[1])))
             return out
-        commits = [self._jit_commit(polys[i]) for i in range(B)]
+        commits = [
+            self._jit_commit(polys[i], self.ck.powers, self.ck.b3) for i in range(B)
+        ]
         return [commitment_to_host(self.ck, c_) for c_ in commits]
 
 

@@ -3,42 +3,46 @@
 Replaces ark-poly's radix-2 FFT used everywhere in the reference
 (``plonk-core/src/util.rs:63-140``).  Design notes (TPU-first):
 
-* iterative DIT with per-stage dense butterflies: each stage is a reshape +
-  one vectorized Montgomery multiply of half the array + add/sub — no
-  data-dependent gathers except a single static bit-reversal permutation;
-* static shapes and a Python loop over log2(n) stages → XLA sees a flat
-  chain of fused elementwise stages it can tile over lanes;
-* multi-chip: see ``parallel/ntt.py`` (domain-sharded stages with
-  all_to_all transpose between local halves).
+* all log2(n) DIT butterfly stages run under ONE ``fori_loop`` body whose
+  partner/twiddle indices are computed arithmetically (i XOR half,
+  (i & (half-1)) * n/m) — O(1) compile cost in n, no index tables;
+* a single static bit-reversal gather up front;
+* multi-chip: the same code runs SPMD under a mesh (gathers/rolls become
+  collectives via GSPMD); a shard_map transpose schedule is the planned
+  optimization.
 
-Layout: polynomials are ``uint32[..., n, L]`` Montgomery limb arrays; the
-polynomial axis is -2.
+All precomputed tables travel in an ``NttPlan`` pytree that callers MUST
+pass as jit arguments — closed-over arrays become XLA constants, and
+constant operands in the limb outer-product multiply cause pathological
+constant folding (see CLAUDE.md).
+
+Layout: polynomials are ``uint32[..., n, L]`` limb arrays; the polynomial
+axis is -2.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..fields import device as fd
 from ..fields.limbs import FieldSpec
-from ..utils.domain import Domain
+
+
+class NttPlan(NamedTuple):
+    """Precomputed tables for one domain size (a jax pytree)."""
+
+    bitrev: jnp.ndarray  # (n,) int32
+    tw: jnp.ndarray  # (n/2, L) powers of w
+    tw_inv: jnp.ndarray  # (n/2, L) powers of w^-1
+    n_inv: jnp.ndarray  # (L,)
+    coset_pow: jnp.ndarray  # (n, L) powers of the coset generator g
+    coset_ipow: jnp.ndarray  # (n, L) powers of g^-1
 
 
 def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, tw_flat: jnp.ndarray) -> jnp.ndarray:
-    """All log2(n) DIT butterfly stages under ONE fori_loop body.
-
-    Stage structure is derived arithmetically from the index vector (partner
-    = i XOR half, twiddle exponent = (i & (half-1)) * n/m), so a single
-    compiled butterfly serves every stage — XLA compile time is O(1) in n,
-    and the per-stage work is one gather + one mul + add/sub + select.
-
-    ``tw_flat``: (n/2, L) powers [w^0 .. w^(n/2-1)] of the domain generator
-    (or its inverse for the iNTT).
-    """
-    import jax
-
     *batch, n, L = x.shape
     if n == 1:
         return x
@@ -55,61 +59,44 @@ def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, tw_flat: jnp.ndarray) -> 
         xp = jnp.take(x, partner, axis=-2)
         operand = jnp.where(is_u[:, None], xp, x)
         m1 = fd.mul(spec, tw, operand)
-        return jnp.where(
-            is_u[:, None], fd.add(spec, x, m1), fd.sub(spec, xp, m1)
-        )
+        return jnp.where(is_u[:, None], fd.add(spec, x, m1), fd.sub(spec, xp, m1))
 
     return jax.lax.fori_loop(0, log_n, body, x)
 
 
-def fft(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
+def fft(spec: FieldSpec, plan: NttPlan, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Coefficients -> evaluations at [1, w, w^2, ...] (natural order)."""
-    spec = domain.spec
-    x = jnp.take(coeffs, jnp.asarray(domain.bit_reversal_perm()), axis=-2)
-    tw = jnp.asarray(domain.powers_array(domain.group_gen, max(1, domain.size // 2)))
-    return _butterfly_stages(spec, x, tw)
+    x = jnp.take(coeffs, plan.bitrev, axis=-2)
+    return _butterfly_stages(spec, x, plan.tw)
 
 
-def ifft(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
+def ifft(spec: FieldSpec, plan: NttPlan, evals: jnp.ndarray) -> jnp.ndarray:
     """Evaluations -> coefficients."""
-    spec = domain.spec
-    x = jnp.take(evals, jnp.asarray(domain.bit_reversal_perm()), axis=-2)
-    tw = jnp.asarray(
-        domain.powers_array(domain.group_gen_inv, max(1, domain.size // 2))
-    )
-    x = _butterfly_stages(spec, x, tw)
-    n_inv = jnp.asarray(domain.spec.encode([domain.size_inv])[0], jnp.uint32)
-    return fd.mul(spec, x, n_inv)
+    x = jnp.take(evals, plan.bitrev, axis=-2)
+    x = _butterfly_stages(spec, x, plan.tw_inv)
+    return fd.mul(spec, x, plan.n_inv)
 
 
-def _scale_by_powers(domain: Domain, x: jnp.ndarray, base: int) -> jnp.ndarray:
-    powers = jnp.asarray(domain.powers_array(base, domain.size), jnp.uint32)
-    return fd.mul(domain.spec, x, powers)
-
-
-def coset_fft(domain: Domain, coeffs: jnp.ndarray) -> jnp.ndarray:
+def coset_fft(spec: FieldSpec, plan: NttPlan, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Evaluations over the coset g*H (arkworks ``coset_fft`` semantics)."""
-    return fft(domain, _scale_by_powers(domain, coeffs, domain.coset_gen))
+    return fft(spec, plan, fd.mul(spec, coeffs, plan.coset_pow))
 
 
-def coset_ifft(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
-    return _scale_by_powers(domain, ifft(domain, evals), domain.coset_gen_inv)
+def coset_ifft(spec: FieldSpec, plan: NttPlan, evals: jnp.ndarray) -> jnp.ndarray:
+    return fd.mul(spec, ifft(spec, plan, evals), plan.coset_ipow)
 
 
-def evaluate_poly(domain_spec: FieldSpec, coeffs: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
+def evaluate_poly(spec: FieldSpec, coeffs: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
     """Evaluate polynomial(s) at a single point via Horner (device).
 
     coeffs: (..., n, L); point: (L,). Returns (..., L).
-    Used for the 11 openings at xi / omega*xi
-    (reference ``linearization_poly.rs:55-75``).
+    (reference ``linearization_poly.rs:55-75``)
     """
-    import jax
-
     n = coeffs.shape[-2]
 
     def body(i, acc):
         c = jax.lax.dynamic_index_in_dim(coeffs, n - 1 - i, axis=-2, keepdims=False)
-        return fd.add(domain_spec, fd.mul(domain_spec, acc, point), c)
+        return fd.add(spec, fd.mul(spec, acc, point), c)
 
-    init = fd.zeros(domain_spec, coeffs.shape[:-2])
+    init = fd.zeros(spec, coeffs.shape[:-2])
     return jax.lax.fori_loop(0, n, body, init)

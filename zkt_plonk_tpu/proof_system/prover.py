@@ -5,14 +5,20 @@ Rebuild of ``plonk-core/src/proof_system/prove.rs:59-483`` (+
 ``lookup/mod.rs:25-85``), restructured TPU-first:
 
 * each Fiat-Shamir round is one jitted device program (batched iNTTs,
-  fused elementwise passes, Pippenger MSM commits); the host only hashes
-  transcripts and derives challenges between rounds;
+  fused elementwise passes); the host only hashes transcripts and derives
+  challenges between rounds; commitments dispatch through ``kzg.Committer``
+  outside the round graphs (one MSM shape per circuit size);
 * the two grand products z1/z2 are log-depth prefix-product scans with a
   single fused batch inversion (the reference's sequential accumulations);
-* the quotient is computed on the 4n coset with precomputed inverse
-  vanishing table (multiply instead of divide) in one fused pass;
-* all committed polynomials are padded to a uniform n+4 coefficients so
-  one compiled MSM shape serves every commitment.
+* the quotient is computed on the 4n coset with a precomputed INVERSE
+  vanishing table in one fused pass whose ~60 multiplies are grouped into
+  6 stacked muls;
+* all committed polynomials are padded to a uniform n+4 coefficients.
+
+Engineering rule (see CLAUDE.md): every device table (NTT plans, EPK coset
+tables, sigma/roots, SRS powers, b3) is passed as a jit ARGUMENT, never
+closed over — constant operands in the limb multiply trigger pathological
+XLA constant folding.
 
 Blinding counts match the reference (a/b/c: 2, h1: 3, h2: 2, z1/z2: 3,
 quotient splits: 1 shared boundary blinder each).
@@ -20,8 +26,7 @@ quotient splits: 1 shared boundary blinder each).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +38,9 @@ from ..cs.lookup import LookupTable, combine_split
 from ..fields import device as fd
 from ..fields.limbs import ints_to_array
 from ..ops import ntt
-from ..utils.domain import Domain, make_domain
+from ..utils.domain import make_domain
 from .keys import ExtendedProverKey, ProverKey, VerifierKey
 from .proof import Proof, ProofEvaluations
-
-
-def _enc_scalar(spec, v: int) -> jnp.ndarray:
-    return jnp.asarray(ints_to_array([v % spec.modulus], spec.n_limbs)[0])
 
 
 def _enc_vec(spec, vals: List[int]) -> jnp.ndarray:
@@ -68,45 +69,48 @@ class Prover:
         self.domain4 = make_domain(self.ctx.curve.fr, 4 * self.n)
         self.spec = self.domain.spec
         self.p = self.spec.modulus
+        self.committer = kzg.Committer(ck)
+        self._plan = self.domain.plan_device()
+        self._plan4 = self.domain4.plan_device()
+        self._tables: Dict = {
+            "coset": dict(epk.coset),
+            "x_coset": epk.x_coset,
+            "zh_inv": epk.zh_coset_inv,
+            "l1": epk.l1_coset,
+            "sigma": epk.sigma_evals,
+            "roots": epk.roots,
+        }
         self._build_programs()
 
     # ------------------------------------------------------------------
-    # jitted device programs
+    # jitted device programs (tables/plans are always ARGUMENTS)
     # ------------------------------------------------------------------
 
     def _build_programs(self):
-        n, spec, domain, domain4 = self.n, self.spec, self.domain, self.domain4
-        ck, epk = self.ck, self.epk
-        p = self.p
+        n, spec = self.n, self.spec
+        one = fd.one(spec)
 
         def blind(padded, blinders):
-            # padded: (B, n+4, L); blinders: (B, 4, L)
             padded = padded.at[:, n : n + 4, :].add(blinders)
             head = fd.sub(spec, padded[:, :4, :], blinders)
             return padded.at[:, :4, :].set(head)
 
-        def commit_batch(evals, blinders):
-            """iNTT + blinding; commitments happen OUTSIDE the jitted graph
-            (via kzg.Committer) so the MSM compiles once per shape and the
-            CPU test backend can use the host fallback."""
-            coeffs = ntt.ifft(domain, evals)  # (B, n, L)
+        def commit_batch(plan, evals, blinders):
+            coeffs = ntt.ifft(spec, plan, evals)  # (B, n, L)
             padded = jnp.pad(coeffs, ((0, 0), (0, 4), (0, 0)))
             return blind(padded, blinders)
 
         self._commit_batch = jax.jit(commit_batch)
-        self.committer = kzg.Committer(ck)
-
-        one = fd.one(spec)
 
         def _bc(s, shape):
             return jnp.broadcast_to(s, (*shape, spec.n_limbs))
 
-        def z_round(wires, f, t, h1, h2, scalars, blinders):
-            # scalars: (6, L) [beta, beta*K1, beta*K2, gamma, delta, eps_1pd];
-            # plus one_plus_delta at index 6, epsilon at 7
+        def z_round(plan, tables, wires, f, t, h1, h2, scalars, blinders):
+            # scalars: (8, L) [beta, beta*K1, beta*K2, gamma, delta,
+            #                  eps(1+d), 1+delta, epsilon]
             a, b, c = wires[0], wires[1], wires[2]
-            roots = epk.roots
-            s1, s2, s3 = epk.sigma_evals[0], epk.sigma_evals[1], epk.sigma_evals[2]
+            roots = tables["roots"]
+            s1, s2, s3 = (tables["sigma"][i] for i in range(3))
             beta, bk1, bk2, gamma, delta, eps_1pd, one_pd, epsilon = (
                 scalars[i] for i in range(8)
             )
@@ -114,9 +118,10 @@ class Prover:
             h1_next = jnp.roll(h1, -1, axis=0)
 
             sh = roots.shape[:-1]
-            # layer 1: all independent products, one stacked mul
             lhs1 = jnp.stack([roots, roots, roots, s1, s2, s3, t_next, h2, h1_next])
-            rhs1 = jnp.stack([_bc(s, sh) for s in (beta, bk1, bk2, beta, beta, beta, delta, delta, delta)])
+            rhs1 = jnp.stack(
+                [_bc(s, sh) for s in (beta, bk1, bk2, beta, beta, beta, delta, delta, delta)]
+            )
             p1 = fd.mul(spec, lhs1, rhs1)
             bx, bx1, bx2, bs1, bs2, bs3, dtn, dh2, dh1n = (p1[i] for i in range(9))
 
@@ -127,18 +132,16 @@ class Prover:
             den1 = ad(ad(bs1, a), gamma)
             den2 = ad(ad(bs2, b), gamma)
             den3 = ad(ad(bs3, c), gamma)
-            t2f = ad(ad(dtn, eps_1pd), t)  # delta*t_next + eps(1+d) + t
+            t2f = ad(ad(dtn, eps_1pd), t)
             epf = ad(_bc(epsilon, sh), f)
             zd1 = ad(ad(dh2, eps_1pd), h1)
             zd2 = ad(ad(dh1n, eps_1pd), h2)
 
-            # layer 2
             p2 = fd.mul(
                 spec,
                 jnp.stack([num1, den1, epf, zd1]),
                 jnp.stack([num2, den2, t2f, zd2]),
             )
-            # layer 3
             p3 = fd.mul(
                 spec,
                 jnp.stack([p2[0], p2[1], p2[2]]),
@@ -147,44 +150,36 @@ class Prover:
             z1_num, z1_den, z2_num = p3[0], p3[1], p3[2]
             z2_den = p2[3]
 
-            dens = jnp.stack([z1_den, z2_den])  # (2, n, L)
+            dens = jnp.stack([z1_den, z2_den])
             dens_inv = fd.batch_inverse(spec, dens.reshape(2 * n, -1), axis=0).reshape(
                 dens.shape
             )
             ratios = fd.mul(spec, jnp.stack([z1_num, z2_num]), dens_inv)
-            # exclusive prefix product: z[0] = 1, z[i] = prod_{j<i} ratio_j
             shifted = jnp.roll(ratios, 1, axis=1)
             shifted = shifted.at[:, 0, :].set(one)
             z_evals = fd.prefix_products(spec, shifted, axis=1)
 
-            return commit_batch(z_evals, blinders)  # returns blinded polys
+            return commit_batch(plan, z_evals, blinders)
 
         self._z_round = jax.jit(z_round)
 
-        c4 = epk.coset  # name -> (4n, L)
+        def quotient_round(plan, plan4, tables, polys8, pi_evals, scalars, qblinders):
+            """polys8: (8, n+4, L) [a,b,c,z1,z2,t,h1,h2].
 
-        def quotient_round(polys9, pi_evals, scalars, qblinders):
-            """polys9: (8, n+4, L) [a,b,c,z1,z2,t,h1,h2].
-
-            scalars: (10, L) host-prepared
-              [beta, beta*K1, beta*K2, gamma, delta, epsilon, eps(1+d),
-               alpha, alpha^3*(1+delta), alpha-powers packed below]
-            plus weight stack (7, L) for the final combination — see caller.
-
-            The pointwise pass is organized into 6 STACKED multiplies (the
-            multiplicative layers of the quotient formula) so XLA sees a
-            handful of large fused ops instead of ~60 separate mul graphs —
-            the fused-kernel equivalent of ``quotient_poly.rs:98-224``.
+            The pointwise pass is 6 STACKED multiplies — the multiplicative
+            layers of the quotient formula (fused-kernel equivalent of
+            ``quotient_poly.rs:98-224``).
             """
             sc, weights = scalars
-            pi_poly = ntt.ifft(domain, pi_evals)  # (n, L)
+            c4 = tables["coset"]
+            pi_poly = ntt.ifft(spec, plan, pi_evals)  # (n, L)
             padded = jnp.concatenate(
                 [
-                    jnp.pad(polys9, ((0, 0), (0, 4 * n - (n + 4)), (0, 0))),
+                    jnp.pad(polys8, ((0, 0), (0, 4 * n - (n + 4)), (0, 0))),
                     jnp.pad(pi_poly, ((0, 3 * n), (0, 0)))[None],
                 ]
             )  # (9, 4n, L)
-            cs = ntt.coset_fft(domain4, padded)
+            cs = ntt.coset_fft(spec, plan4, padded)
             a, b, c, z1, z2, t, h1, h2, pi = (cs[i] for i in range(9))
             z1n = jnp.roll(z1, -4, axis=0)
             z2n = jnp.roll(z2, -4, axis=0)
@@ -199,9 +194,8 @@ class Prover:
             def bc(s):
                 return jnp.broadcast_to(s, (*sh, spec.n_limbs))
 
-            # layer 1: independent products
             lhs1 = jnp.stack(
-                [a, epk.x_coset, epk.x_coset, epk.x_coset,
+                [a, tables["x_coset"], tables["x_coset"], tables["x_coset"],
                  c4["sigma1"], c4["sigma2"], c4["sigma3"],
                  c4["q_lookup"], tn, h2, h1n]
             )
@@ -214,7 +208,6 @@ class Prover:
                 p1[i] for i in range(11)
             )
 
-            # layer 2
             lhs2 = jnp.stack(
                 [ab, a, b, c,
                  ad(ad(bx, a), gamma), ad(ad(bs1, a), gamma),
@@ -225,26 +218,23 @@ class Prover:
                 [c4["q_m"], c4["q_l"], c4["q_r"], c4["q_o"],
                  ad(ad(bx1, b), gamma), ad(ad(bs2, b), gamma),
                  ad(bc(epsilon), qlc), ad(ad(eps_1pd, h2), dh1n),
-                 t, epk.l1_coset, epk.l1_coset]
+                 t, tables["l1"], tables["l1"]]
             )
             p2 = fd.mul(spec, lhs2, rhs2)
             abqm, aql, bqr, cqo, p1a, p2a, tq, hh, qtt, l1z1, l1z2 = (
                 p2[i] for i in range(11)
             )
 
-            # layer 3
             p3 = fd.mul(
                 spec,
                 jnp.stack([p1a, p2a]),
                 jnp.stack([ad(ad(bx2, c), gamma), ad(ad(bs3, c), gamma)]),
             )
-            # layer 4
             p4 = fd.mul(
                 spec,
                 jnp.stack([z1, z1n, z2, z2n]),
                 jnp.stack([p3[0], p3[1], tq, hh]),
             )
-            # layer 5: scalar weights
             # weights: (7, L) = [alpha, alpha, a3(1+d), a3, a^2, a^4, a^5]
             p5 = fd.mul(
                 spec,
@@ -256,8 +246,8 @@ class Prover:
             perm = ad(sb(p5[0], p5[1]), p5[4])
             lookup = ad(ad(sb(p5[2], p5[3]), p5[5]), p5[6])
 
-            q_evals = fd.mul(spec, ad(ad(arith, perm), lookup), epk.zh_coset_inv)
-            q = ntt.coset_ifft(domain4, q_evals)  # (4n, L)
+            q_evals = fd.mul(spec, ad(ad(arith, perm), lookup), tables["zh_inv"])
+            q = ntt.coset_ifft(spec, plan4, q_evals)  # (4n, L)
 
             b0 = qblinders[0]
             b1 = qblinders[1]
@@ -274,9 +264,9 @@ class Prover:
         self._quotient_round = jax.jit(quotient_round)
 
         def evaluate(polys_xi, polys_wxi, xi_powers, wxi_powers):
-            ev_xi = _eval_many(spec, polys_xi, xi_powers)
-            ev_wxi = _eval_many(spec, polys_wxi, wxi_powers)
-            return ev_xi, ev_wxi
+            return _eval_many(spec, polys_xi, xi_powers), _eval_many(
+                spec, polys_wxi, wxi_powers
+            )
 
         self._evaluate = jax.jit(evaluate)
 
@@ -298,26 +288,30 @@ class Prover:
 
         self._open_batch = jax.jit(open_batch)
 
-        def fused_core(wires, f, t_evals, h1, h2, pi_evals, z_scalars, q_scalars,
-                       q_weights, blinders_abc, blinders_th, blinders_z, qblinders):
-            """Rounds 1-4 device work as ONE program (fixed challenges).
+        ck = self.ck
 
-            Used for multi-chip dry-runs and throughput benchmarking: the
-            full compute path (batched iNTTs, grand-product scans, fused
-            quotient coset pass, all MSM commits) without the host
-            transcript round-trips.
-            """
-            abc_polys = commit_batch(wires, blinders_abc)
+        def fused_core(plan, plan4, tables, powers, b3,
+                       wires, f, t_evals, h1, h2, pi_evals, z_scalars, q_scalars,
+                       q_weights, blinders_abc, blinders_th, blinders_z, qblinders):
+            """Rounds 1-4 device work as ONE program (fixed challenges) for
+            multi-chip dry-runs and throughput benchmarking — includes the
+            on-device MSM commits."""
+            from ..ops import msm as msm_mod
+
+            abc_polys = commit_batch(plan, wires, blinders_abc)
             th_evals = jnp.stack([t_evals, h1, h2])
-            th_polys = commit_batch(th_evals, blinders_th)
-            z_polys = z_round(wires, f, t_evals, h1, h2, z_scalars, blinders_z)
+            th_polys = commit_batch(plan, th_evals, blinders_th)
+            z_polys = z_round(plan, tables, wires, f, t_evals, h1, h2, z_scalars, blinders_z)
             polys8 = jnp.concatenate([abc_polys, z_polys, th_polys])
             q_polys = quotient_round(
-                polys8, pi_evals, (q_scalars, q_weights), qblinders
+                plan, plan4, tables, polys8, pi_evals, (q_scalars, q_weights), qblinders
             )
             all_polys = jnp.concatenate([abc_polys, th_polys, z_polys, q_polys])
+            fr_bits = self.ctx.curve.fr.modulus.bit_length()
+            m = all_polys.shape[1]
             commits = jax.lax.map(
-                lambda cfs: kzg.commit_device(ck, cfs), all_polys
+                lambda cfs: msm_mod.msm(self.ctx.fq_spec, b3, powers[:m], cfs, fr_bits),
+                all_polys,
             )
             return commits, q_polys
 
@@ -331,7 +325,7 @@ class Prover:
         from ..utils.profiling import section
 
         n, p, spec = self.n, self.p, self.spec
-        ck = self.ck
+        plan, plan4, tables = self._plan, self._plan4, self._tables
         composer.pad_to(n)
 
         # PI to transcript (``prove.rs:110``)
@@ -351,7 +345,7 @@ class Prover:
         )
         wire_blinders = _blinders(spec, rng, p, [2, 2, 2])
         with section("round1 commit a/b/c"):
-            abc_polys = self._commit_batch(wires, wire_blinders)
+            abc_polys = self._commit_batch(plan, wires, wire_blinders)
             abc_aff = self.committer.commit_many(abc_polys)
         transcript.append_commitment("a_commit", abc_aff[0])
         transcript.append_commitment("b_commit", abc_aff[1])
@@ -376,7 +370,7 @@ class Prover:
         )
         lookup_blinders = _blinders(spec, rng, p, [0, 3, 2])
         with section("round2 commit t/h1/h2"):
-            th_polys = self._commit_batch(lookup_evals, lookup_blinders)
+            th_polys = self._commit_batch(plan, lookup_evals, lookup_blinders)
             th_aff = self.committer.commit_many(th_polys)
         transcript.append_commitment("t_commit", th_aff[0])
         transcript.append_commitment("h1_commit", th_aff[1])
@@ -387,8 +381,7 @@ class Prover:
         gamma = transcript.challenge_scalar("gamma")
         delta = transcript.challenge_scalar("delta")
         epsilon = transcript.challenge_scalar("epsilon")
-        challenges = {beta, gamma, delta, epsilon}
-        assert len(challenges) == 4, "challenges must be different"
+        assert len({beta, gamma, delta, epsilon}) == 4, "challenges must be different"
 
         z_blinders = _blinders(spec, rng, p, [3, 3])
         eps_1pd = epsilon * (1 + delta) % p
@@ -399,6 +392,8 @@ class Prover:
         )
         with section("round3 z1/z2"):
             z_polys = self._z_round(
+                plan,
+                tables,
                 wires,
                 jnp.asarray(ints_to_array(f_ints, spec.n_limbs)),
                 lookup_evals[0],
@@ -414,17 +409,11 @@ class Prover:
         # --- round 4: quotient ----------------------------------------
         alpha = transcript.challenge_scalar("alpha")
         pi_evals = jnp.asarray(ints_to_array(composer.pi_as_evals(n), spec.n_limbs))
-        # [a,b,c,z1,z2,t,h1,h2] (8, n+4, L)
         polys8 = jnp.stack(
             [
-                abc_polys[0],
-                abc_polys[1],
-                abc_polys[2],
-                z_polys[0],
-                z_polys[1],
-                th_polys[0],
-                th_polys[1],
-                th_polys[2],
+                abc_polys[0], abc_polys[1], abc_polys[2],
+                z_polys[0], z_polys[1],
+                th_polys[0], th_polys[1], th_polys[2],
             ]
         )
         q_blinders = _enc_vec(spec, [rng.randrange(p), rng.randrange(p)])
@@ -441,10 +430,7 @@ class Prover:
         )
         with section("round4 quotient"):
             q_polys = self._quotient_round(
-                polys8,
-                pi_evals,
-                (q_scalars, q_weights),
-                q_blinders,
+                plan, plan4, tables, polys8, pi_evals, (q_scalars, q_weights), q_blinders
             )
             q_aff = self.committer.commit_many(q_polys)
         transcript.append_commitment("q_lo_commit", q_aff[0])
@@ -467,14 +453,9 @@ class Prover:
 
         polys_xi = jnp.stack(
             [
-                abc_polys[0],
-                abc_polys[1],
-                abc_polys[2],
-                pk_padded["sigma1"],
-                pk_padded["sigma2"],
-                pk_padded["q_lookup"],
-                th_polys[0],  # t
-                th_polys[2],  # h2
+                abc_polys[0], abc_polys[1], abc_polys[2],
+                pk_padded["sigma1"], pk_padded["sigma2"], pk_padded["q_lookup"],
+                th_polys[0], th_polys[2],
             ]
         )
         polys_wxi = jnp.stack(
@@ -482,9 +463,8 @@ class Prover:
         )  # z1, t, z2, h1
         with section("round5 evaluations"):
             ev_xi, ev_wxi = self._evaluate(polys_xi, polys_wxi, xi_powers, wxi_powers)
-            jax.block_until_ready(ev_xi)
-        ev_xi_i = spec.decode(np.asarray(ev_xi))
-        ev_wxi_i = spec.decode(np.asarray(ev_wxi))
+            ev_xi_i = spec.decode(np.asarray(ev_xi))
+            ev_wxi_i = spec.decode(np.asarray(ev_wxi))
 
         evals = ProofEvaluations(
             a=ev_xi_i[0],
@@ -504,7 +484,6 @@ class Prover:
         for label, value in evals.transcript_items():
             transcript.append_scalar(label, value)
 
-        # linearization polynomial (host scalars, device combination)
         zh_eval = (pow(xi, n, p) - 1) % p
         l1_eval = zh_eval * pow(n * (xi - 1) % p, -1, p) % p
         scalars, poly_list = self._linearization_terms(
@@ -512,9 +491,7 @@ class Prover:
             pk_padded, abc_polys, z_polys, th_polys, q_polys,
         )
         with section("linearization"):
-            r_poly = self._linearize(
-                jnp.stack(poly_list), _enc_vec(spec, scalars)
-            )
+            r_poly = self._linearize(jnp.stack(poly_list), _enc_vec(spec, scalars))
 
         # --- openings --------------------------------------------------
         eta = transcript.challenge_scalar("eta")
@@ -522,14 +499,9 @@ class Prover:
         aw_polys = jnp.stack(
             [
                 r_poly,
-                abc_polys[0],
-                abc_polys[1],
-                abc_polys[2],
-                pk_padded["sigma1"],
-                pk_padded["sigma2"],
-                pk_padded["q_lookup"],
-                th_polys[0],
-                th_polys[2],
+                abc_polys[0], abc_polys[1], abc_polys[2],
+                pk_padded["sigma1"], pk_padded["sigma2"], pk_padded["q_lookup"],
+                th_polys[0], th_polys[2],
             ]
         )
         saw_polys = jnp.stack([z_polys[0], z_polys[1], th_polys[0], th_polys[1]])
@@ -539,10 +511,10 @@ class Prover:
 
         with section("openings"):
             aw_w = self._open_batch(
-                aw_polys, _eta_powers(spec, eta, 9, p), xi_powers, xi_inv_powers
+                aw_polys, _powers_arr(spec, eta, 9, p), xi_powers, xi_inv_powers
             )
             saw_w = self._open_batch(
-                saw_polys, _eta_powers(spec, eta, 4, p), wxi_powers, wxi_inv_powers
+                saw_polys, _powers_arr(spec, eta, 4, p), wxi_powers, wxi_inv_powers
             )
             aw_aff, saw_aff = self.committer.commit_many(jnp.stack([aw_w, saw_w]))
 
@@ -572,7 +544,6 @@ class Prover:
         """Host-side linearization scalars (``linearization_poly.rs:77-111``
         + widget ``compute_linearization`` methods)."""
         p = self.p
-        n = self.n
 
         scalars = [ev.a * ev.b % p, ev.a, ev.b, ev.c, 1]
         polys = [
@@ -583,7 +554,6 @@ class Prover:
             pk_padded["q_c"],
         ]
 
-        # permutation (``keys/permutation.rs:34-69``)
         beta_xi = beta * xi % p
         z1_scalar = (
             alpha
@@ -605,7 +575,6 @@ class Prover:
         scalars.append(sigma3_scalar)
         polys.append(pk_padded["sigma3"])
 
-        # lookup (``keys/lookup.rs:29-65``)
         alpha_cu = pow(alpha, 3, p)
         alpha_qu = pow(alpha, 4, p)
         one_plus_delta = (1 + delta) % p
@@ -629,7 +598,6 @@ class Prover:
         scalars.append(alpha_qu * alpha % p * ev.t % p)
         polys.append(pk_padded["q_table"])
 
-        # quotient recombination (``linearization_poly.rs:101-109``)
         xi_n2 = (zh_eval + 1) * xi * xi % p
         scalars.append((-zh_eval) % p)
         polys.append(q_polys[0])
@@ -639,11 +607,6 @@ class Prover:
         polys.append(q_polys[2])
 
         return scalars, polys
-
-    def _to_host_points(self, commits):
-        from ..ops import ec
-
-        return ec.to_affine_host(self.ctx.fq_spec, np.asarray(commits))
 
 
 # ---------------------------------------------------------------------------
@@ -655,7 +618,6 @@ def _eval_many(spec, polys, powers):
     """Σ_j c_j x^j for each poly via elementwise mul + log-depth add-reduce."""
     terms = fd.mul(spec, polys, powers)
     m = terms.shape[1]
-    # tree reduction along the coefficient axis
     while m > 1:
         half = (m + 1) // 2
         lo = terms[:, :half]
@@ -686,11 +648,4 @@ def _inv_powers_arr(spec, x: int, count: int, p: int) -> jnp.ndarray:
     vals = [xi] * count
     for i in range(1, count):
         vals[i] = vals[i - 1] * xi % p
-    return jnp.asarray(ints_to_array(vals, spec.n_limbs))
-
-
-def _eta_powers(spec, eta: int, count: int, p: int) -> jnp.ndarray:
-    vals = [1] * count
-    for i in range(1, count):
-        vals[i] = vals[i - 1] * eta % p
     return jnp.asarray(ints_to_array(vals, spec.n_limbs))

@@ -65,7 +65,7 @@ def setup(
         np.stack([ints_to_array(col, spec.n_limbs) for col in eval_columns])
     )  # (10, n, L)
 
-    polys_arr = _batch_ifft(domain, evals_arr)  # (10, n, L)
+    polys_arr = jax.jit(lambda pl, e: ntt.ifft(spec, pl, e))(domain.plan(), evals_arr)
 
     # batch-commit the 10 polynomials (``setup.rs:104-121``); commit at
     # n+4 coefficients — the same padded shape the prover uses for witness
@@ -86,8 +86,6 @@ def setup(
     return pk, epk, vk
 
 
-def _batch_ifft(domain: Domain, evals: jnp.ndarray) -> jnp.ndarray:
-    return jax.jit(lambda e: ntt.ifft(domain, e))(evals)
 
 
 def extend_prover_key(
@@ -123,11 +121,11 @@ def extend_prover_key(
     l1_coset = ints_to_array(l1_vals, spec.n_limbs)
 
     @jax.jit
-    def _cosets(polys):
+    def _cosets(plan4, polys):
         padded = jnp.pad(polys, ((0, 0), (0, 3 * n), (0, 0)))
-        return ntt.coset_fft(domain4, padded)
+        return ntt.coset_fft(spec, plan4, padded)
 
-    coset_tables = _cosets(stacked)  # (10, 4n, L)
+    coset_tables = _cosets(domain4.plan(), stacked)  # (10, 4n, L)
 
     return ExtendedProverKey(
         n=n,

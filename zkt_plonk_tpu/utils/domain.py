@@ -53,6 +53,45 @@ class Domain:
 
     # -- precomputed tables (limb arrays) ----------------------------------
 
+    def plan(self):
+        """Device-resident NTT tables as a pytree (see ``ops/ntt.NttPlan``).
+
+        IMPORTANT: always pass the plan as an ARGUMENT to jitted programs —
+        closed-over arrays become XLA constants, and constant operands in
+        the limb outer-product multiply trigger catastrophic constant
+        folding (minutes of compile, 1000x runtime).
+        """
+        key = (self.spec.params.name, self.log_size)
+        cached = _plan_cache.get(key)
+        if cached is not None:
+            return cached
+        from ..ops.ntt import NttPlan
+
+        # numpy leaves: safe to build anywhere (never traced), valid jit args
+        half = max(1, self.size // 2)
+        plan = NttPlan(
+            bitrev=self.bit_reversal_perm(),
+            tw=self.powers_array(self.group_gen, half),
+            tw_inv=self.powers_array(self.group_gen_inv, half),
+            n_inv=self.spec.encode([self.size_inv])[0],
+            coset_pow=self.powers_array(self.coset_gen, self.size),
+            coset_ipow=self.powers_array(self.coset_gen_inv, self.size),
+        )
+        _plan_cache[key] = plan
+        return plan
+
+    def plan_device(self):
+        """Device-resident plan (device_put once, cached). Do NOT call while
+        tracing."""
+        key = (self.spec.params.name, self.log_size, "device")
+        cached = _plan_cache.get(key)
+        if cached is None:
+            import jax
+
+            cached = jax.device_put(self.plan())
+            _plan_cache[key] = cached
+        return cached
+
     def bit_reversal_perm(self) -> np.ndarray:
         return _bitrev_cached(self.log_size)
 
@@ -82,6 +121,7 @@ def _bitrev_cached(log_n: int) -> np.ndarray:
 
 
 _powers_cache = {}
+_plan_cache = {}
 
 
 @lru_cache(maxsize=None)
