@@ -60,13 +60,14 @@ def main():
         np.tile(ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
                 (n_ntt // 1024, 1))
     )
-    fftf = jax.jit(lambda c: ntt.fft(dom, c))
-    fftf(coeffs).block_until_ready()
+    plan = dom.plan_device()
+    fftf = jax.jit(lambda pl, c: ntt.fft(dom.spec, pl, c))
+    fftf(plan, coeffs).block_until_ready()
     t0 = time.time()
     iters = 10
     out = coeffs
     for _ in range(iters):
-        out = fftf(out)
+        out = fftf(plan, out)
     out.block_until_ready()
     ntt_time = (time.time() - t0) / iters
     log(f"NTT 2^14: {ntt_time*1e3:.2f} ms -> {1/ntt_time:.1f} NTT/s")
@@ -77,16 +78,17 @@ def main():
 
     ctx = make_context("bn254")
     ck, _ = kzg.setup(ctx, max_degree=n_ntt, tau=987654321)
-    commitf = jax.jit(lambda c: kzg.commit_device(ck, c))
+    committer = kzg.Committer(ck)
     scalars = jnp.asarray(
         np.tile(ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
                 (n_ntt // 1024, 1))
     )
-    commitf(scalars).block_until_ready()
+    r = committer._jit_commit(scalars, ck.powers, ck.b3)
+    jax.block_until_ready(r)
     t0 = time.time()
     iters = 3
     for _ in range(iters):
-        r = commitf(scalars)
+        r = committer._jit_commit(scalars, ck.powers, ck.b3)
     jax.block_until_ready(r)
     msm_time = (time.time() - t0) / iters
     log(f"KZG commit 2^14 (Pippenger MSM): {msm_time*1e3:.1f} ms")
