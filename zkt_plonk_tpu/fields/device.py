@@ -31,6 +31,17 @@ U32 = jnp.uint32
 MASK = np.uint32(LIMB_MASK)
 
 
+def _pallas_dispatch(a, b) -> bool:
+    """Route large batches to the VMEM pallas kernels on TPU.
+
+    The jnp formulas below stay as the portable reference path (CPU tests,
+    tiny operands where kernel+relayout overhead dominates).
+    """
+    from . import pallas as fp
+
+    return fp.use_pallas() and fp.eligible(a, b)
+
+
 # ---------------------------------------------------------------------------
 # low-level helpers
 # ---------------------------------------------------------------------------
@@ -156,11 +167,21 @@ def _cond_sub(spec: FieldSpec, limbs: jnp.ndarray) -> jnp.ndarray:
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if _pallas_dispatch(a, b):
+        from . import pallas as fp
+
+        a, b = jnp.broadcast_arrays(a, b)
+        return fp.binary_op(spec, "add", a, b)
     s = _carry_propagate(a + b, spec.n_limbs + 1)
     return _cond_sub(spec, s)[..., : spec.n_limbs]
 
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    if _pallas_dispatch(a, b):
+        from . import pallas as fp
+
+        a, b = jnp.broadcast_arrays(a, b)
+        return fp.binary_op(spec, "sub", a, b)
     d, borrow = _sub_with_borrow(a, b)
     fixed = _carry_propagate(d + _modulus_arr(spec), spec.n_limbs)
     return jnp.where((borrow > 0)[..., None], fixed, d)
@@ -196,6 +217,10 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a * b mod p for canonical inputs (< p)."""
     L = spec.n_limbs
     a, b = jnp.broadcast_arrays(a, b)
+    if _pallas_dispatch(a, b):
+        from . import pallas as fp
+
+        return fp.binary_op(spec, "mul", a, b)
 
     # t = a*b, fully carried: 2L limbs
     t = _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L)

@@ -1,0 +1,269 @@
+"""Pallas TPU kernels for field arithmetic — the VMEM-resident fast path.
+
+The pure-jnp formulas in ``fields/device.py`` are correct everywhere but
+HBM-bound on TPU: XLA materializes the (…, L, L) outer-product
+intermediates (measured ~190 GB of traffic per 2^20 muls → 4.5 M mul/s).
+These kernels run the whole word-aligned Barrett pipeline on limb-major
+``(L, block)`` tiles in VMEM: measured 153 M mul/s on v5e (33x).
+
+Integration contract (see ``fields/device.py``): public fd ops keep the
+element-major ``uint32[..., L]`` interface; wrappers here flatten batch
+axes, transpose to limb-major, pad to a block multiple, run the kernel,
+and undo. Consecutive fd calls inside one jit cancel the intermediate
+transposes at the XLA level.
+
+Kernels are enabled when the active backend is TPU (``use_pallas()``);
+interpret mode is used on CPU only in dedicated parity tests.
+
+Replaces the reference's ``asm`` feature (x86-64 field mul in ark-ff,
+``plonk-core/Cargo.toml:65``) as the "hand-tuned native mul" layer.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .limbs import LIMB_BITS, LIMB_MASK, FieldSpec
+
+U32 = jnp.uint32
+MASK = np.uint32(LIMB_MASK)
+
+# Tuned on v5e: 512 and 1024 within noise, 2048+ slower (VMEM pressure).
+BLOCK = 1024
+# Below this many elements the jnp path wins (kernel + relayout overhead).
+MIN_PALLAS_ELEMS = 1024
+
+
+def use_pallas() -> bool:
+    env = os.environ.get("ZKT_PLONK_PALLAS", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# limb-major primitives (limb axis 0, element axis 1) used INSIDE kernels
+# ---------------------------------------------------------------------------
+
+
+def _shift_up(x, d):
+    if d == 0:
+        return x
+    return jnp.concatenate([jnp.zeros((d,) + x.shape[1:], U32), x[:-d]], axis=0)
+
+
+def _ks_carries(g, p):
+    n = g.shape[0]
+    d = 1
+    while d < n:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d <<= 1
+    return _shift_up(g, 1)
+
+
+def _carry_propagate(cols, out_len):
+    k = cols.shape[0]
+    if k < out_len:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((out_len - k,) + cols.shape[1:], U32)], axis=0
+        )
+    else:
+        cols = cols[:out_len]
+    s = (cols & MASK) + _shift_up(cols >> LIMB_BITS, 1)
+    s = (s & MASK) + _shift_up(s >> LIMB_BITS, 1)
+    g = s >> LIMB_BITS
+    limb = s & MASK
+    p = (limb == MASK).astype(U32)
+    return (limb + _ks_carries(g, p)) & MASK
+
+
+def _sub_with_borrow(a, b):
+    t = a + np.uint32(1 << LIMB_BITS) - b
+    limb = t & MASK
+    g = np.uint32(1) - (t >> LIMB_BITS)
+    p = (limb == 0).astype(U32)
+    n = a.shape[0]
+    gg, pp = g, p
+    d = 1
+    while d < n:
+        gg = gg | (pp & _shift_up(gg, d))
+        pp = pp & _shift_up(pp, d)
+        d <<= 1
+    borrow_in = _shift_up(gg, 1)
+    diff = (limb + np.uint32(1 << LIMB_BITS) - borrow_in) & MASK
+    return diff, gg[n - 1]
+
+
+def _mul_columns(a, b, ncols):
+    """Column sums of a*b: a (La, B), b (Lb, B) -> (ncols, B) u32 columns.
+
+    Block-shifted accumulation: per source limb i one (Lb, B) product and
+    two shifted full-width adds; rows sliced beyond ncols are DCE'd.
+    """
+    La = a.shape[0]
+    B = a.shape[1]
+
+    def place(x, off):
+        k = min(x.shape[0], ncols - off)
+        if k <= 0:
+            return None
+        parts = []
+        if off:
+            parts.append(jnp.zeros((off, B), U32))
+        parts.append(x[:k])
+        if off + k < ncols:
+            parts.append(jnp.zeros((ncols - off - k, B), U32))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    acc = jnp.zeros((ncols, B), U32)
+    for i in range(La):
+        prod = a[i][None, :] * b
+        lo = place(prod & MASK, i)
+        hi = place(prod >> LIMB_BITS, i + 1)
+        if lo is not None:
+            acc = acc + lo
+        if hi is not None:
+            acc = acc + hi
+    return acc
+
+
+def _cond_sub(r, p_pad):
+    diff, borrow = _sub_with_borrow(r, p_pad)
+    return jnp.where((borrow == 0)[None, :], diff, r)
+
+
+def _barrett_mul_lm(a, b, p_arr, mu, L):
+    """Full Barrett modmul on limb-major (L, B) tiles (canonical inputs)."""
+    B = a.shape[1]
+    t = _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L)
+    t_hi = t[L - 1 :]  # (L+1, B)
+    mu_b = jnp.broadcast_to(mu, (L + 1, B))
+    prod2 = _carry_propagate(_mul_columns(t_hi, mu_b, 2 * L + 2), 2 * L + 2)
+    qhat = prod2[L + 1 : 2 * L + 1]  # (L, B)
+    p_b = jnp.broadcast_to(p_arr, (L, B))
+    qp = _carry_propagate(_mul_columns(qhat, p_b, L + 1), L + 1)
+    r, _ = _sub_with_borrow(t[: L + 1], qp)
+    p_pad = jnp.concatenate([p_b, jnp.zeros((1, B), U32)], axis=0)
+    r = _cond_sub(_cond_sub(r, p_pad), p_pad)
+    return r[:L]
+
+
+def _add_lm(a, b, p_arr, L):
+    B = a.shape[1]
+    s = _carry_propagate(a + b, L + 1)
+    p_pad = jnp.concatenate(
+        [jnp.broadcast_to(p_arr, (L, B)), jnp.zeros((1, B), U32)], axis=0
+    )
+    return _cond_sub(s, p_pad)[:L]
+
+
+def _sub_lm(a, b, p_arr, L):
+    B = a.shape[1]
+    d, borrow = _sub_with_borrow(a, b)
+    fixed = _carry_propagate(d + jnp.broadcast_to(p_arr, (L, B)), L)
+    return jnp.where((borrow > 0)[None, :], fixed, d)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _kernel_fn(spec: FieldSpec, op: str, interpret: bool):
+    L = spec.n_limbs
+
+    if op == "mul":
+
+        def kernel(p_ref, mu_ref, a_ref, b_ref, o_ref):
+            o_ref[:] = _barrett_mul_lm(
+                a_ref[:], b_ref[:], p_ref[:], mu_ref[:], L
+            )
+
+        n_consts = 2
+    elif op == "add":
+
+        def kernel(p_ref, a_ref, b_ref, o_ref):
+            o_ref[:] = _add_lm(a_ref[:], b_ref[:], p_ref[:], L)
+
+        n_consts = 1
+    elif op == "sub":
+
+        def kernel(p_ref, a_ref, b_ref, o_ref):
+            o_ref[:] = _sub_lm(a_ref[:], b_ref[:], p_ref[:], L)
+
+        n_consts = 1
+    else:  # pragma: no cover
+        raise ValueError(op)
+
+    const_specs = [
+        pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L + 1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+    ][:n_consts]
+    if op != "mul":
+        const_specs = [pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)]
+
+    def call(consts, a_lm, b_lm):
+        n = a_lm.shape[1]
+        grid = n // BLOCK
+        data_spec = pl.BlockSpec((L, BLOCK), lambda j: (0, j), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n), U32),
+            grid=(grid,),
+            in_specs=const_specs + [data_spec, data_spec],
+            out_specs=data_spec,
+            interpret=interpret,
+        )(*consts, a_lm, b_lm)
+
+    return call
+
+
+def _consts(spec: FieldSpec, op: str):
+    p_arr = jnp.asarray(np.asarray(spec.modulus_limbs, np.uint32)[:, None])
+    if op == "mul":
+        mu = jnp.asarray(np.asarray(spec.mu_limbs, np.uint32)[:, None])
+        return (p_arr, mu)
+    return (p_arr,)
+
+
+def binary_op(spec: FieldSpec, op: str, a, b, *, interpret: bool = False):
+    """Run a binary field op through the pallas kernel.
+
+    a, b: element-major ``uint32[..., L]`` (already broadcast to a common
+    shape). Returns the same shape. Caller is responsible for the
+    use-it-or-not decision (see ``eligible``).
+    """
+    L = spec.n_limbs
+    shape = a.shape
+    n = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
+    a2 = a.reshape(n, L).T  # (L, n) — one XLA relayout
+    b2 = b.reshape(n, L).T
+    pad = (-n) % BLOCK
+    if pad:
+        a2 = jnp.pad(a2, ((0, 0), (0, pad)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad)))
+    out = _kernel_fn(spec, op, interpret)(_consts(spec, op), a2, b2)
+    if pad:
+        out = out[:, :n]
+    return out.T.reshape(shape)
+
+
+def eligible(a, b) -> bool:
+    """Static decision: is the pallas path worth it for these operands?"""
+    shape = np.broadcast_shapes(a.shape, b.shape)
+    n = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
+    return n >= MIN_PALLAS_ELEMS
