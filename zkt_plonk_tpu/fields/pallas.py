@@ -54,18 +54,25 @@ def use_pallas() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# limb-major primitives (limb axis 0, element axis 1) used INSIDE kernels
+# limb-major primitives used INSIDE kernels.
+#
+# Convention: the LIMB axis is -2 and the lane/element axis is -1; any
+# leading axes are batch. On TPU this puts limbs on sublanes and elements
+# on the 128-wide lanes, so limb shifts are cheap sublane moves and all
+# arithmetic is fully lane-parallel.
 # ---------------------------------------------------------------------------
 
 
 def _shift_up(x, d):
+    """Shift limbs (axis -2) toward higher indices by d, zero fill."""
     if d == 0:
         return x
-    return jnp.concatenate([jnp.zeros((d,) + x.shape[1:], U32), x[:-d]], axis=0)
+    z = jnp.zeros(x.shape[:-2] + (d, x.shape[-1]), U32)
+    return jnp.concatenate([z, x[..., :-d, :]], axis=-2)
 
 
 def _ks_carries(g, p):
-    n = g.shape[0]
+    n = g.shape[-2]
     d = 1
     while d < n:
         g = g | (p & _shift_up(g, d))
@@ -75,13 +82,12 @@ def _ks_carries(g, p):
 
 
 def _carry_propagate(cols, out_len):
-    k = cols.shape[0]
+    k = cols.shape[-2]
     if k < out_len:
-        cols = jnp.concatenate(
-            [cols, jnp.zeros((out_len - k,) + cols.shape[1:], U32)], axis=0
-        )
+        z = jnp.zeros(cols.shape[:-2] + (out_len - k, cols.shape[-1]), U32)
+        cols = jnp.concatenate([cols, z], axis=-2)
     else:
-        cols = cols[:out_len]
+        cols = cols[..., :out_len, :]
     s = (cols & MASK) + _shift_up(cols >> LIMB_BITS, 1)
     s = (s & MASK) + _shift_up(s >> LIMB_BITS, 1)
     g = s >> LIMB_BITS
@@ -95,7 +101,7 @@ def _sub_with_borrow(a, b):
     limb = t & MASK
     g = np.uint32(1) - (t >> LIMB_BITS)
     p = (limb == 0).astype(U32)
-    n = a.shape[0]
+    n = a.shape[-2]
     gg, pp = g, p
     d = 1
     while d < n:
@@ -104,77 +110,93 @@ def _sub_with_borrow(a, b):
         d <<= 1
     borrow_in = _shift_up(gg, 1)
     diff = (limb + np.uint32(1 << LIMB_BITS) - borrow_in) & MASK
-    return diff, gg[n - 1]
+    return diff, gg[..., n - 1, :]
 
 
 def _mul_columns(a, b, ncols):
-    """Column sums of a*b: a (La, B), b (Lb, B) -> (ncols, B) u32 columns.
+    """Column sums of a*b: a (..., La, B), b (..., Lb, B) -> (..., ncols, B).
 
-    Block-shifted accumulation: per source limb i one (Lb, B) product and
-    two shifted full-width adds; rows sliced beyond ncols are DCE'd.
+    Block-shifted accumulation: per source limb i one (..., Lb, B) product
+    and two shifted full-width adds; rows sliced beyond ncols are DCE'd.
     """
-    La = a.shape[0]
-    B = a.shape[1]
+    La = a.shape[-2]
 
     def place(x, off):
-        k = min(x.shape[0], ncols - off)
+        k = min(x.shape[-2], ncols - off)
         if k <= 0:
             return None
         parts = []
         if off:
-            parts.append(jnp.zeros((off, B), U32))
-        parts.append(x[:k])
+            parts.append(jnp.zeros(x.shape[:-2] + (off, x.shape[-1]), U32))
+        parts.append(x[..., :k, :])
         if off + k < ncols:
-            parts.append(jnp.zeros((ncols - off - k, B), U32))
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            parts.append(
+                jnp.zeros(x.shape[:-2] + (ncols - off - k, x.shape[-1]), U32)
+            )
+        return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
 
-    acc = jnp.zeros((ncols, B), U32)
+    acc = None
     for i in range(La):
-        prod = a[i][None, :] * b
+        prod = a[..., i : i + 1, :] * b
         lo = place(prod & MASK, i)
         hi = place(prod >> LIMB_BITS, i + 1)
-        if lo is not None:
-            acc = acc + lo
-        if hi is not None:
-            acc = acc + hi
+        for part in (lo, hi):
+            if part is not None:
+                acc = part if acc is None else acc + part
     return acc
 
 
 def _cond_sub(r, p_pad):
     diff, borrow = _sub_with_borrow(r, p_pad)
-    return jnp.where((borrow == 0)[None, :], diff, r)
+    return jnp.where((borrow == 0)[..., None, :], diff, r)
+
+
+def _bcast_const(c, like, rows):
+    """Broadcast a (rows, 1) constant to (..., rows, B) matching ``like``.
+
+    Two steps (lanes first, then leading dims) — Mosaic cannot broadcast
+    sublanes and lanes in a single op.
+    """
+    c2 = jnp.broadcast_to(c, (rows, like.shape[-1]))
+    return jnp.broadcast_to(c2, like.shape[:-2] + (rows, like.shape[-1]))
 
 
 def _barrett_mul_lm(a, b, p_arr, mu, L):
-    """Full Barrett modmul on limb-major (L, B) tiles (canonical inputs)."""
-    B = a.shape[1]
+    """Full Barrett modmul on limb-major (..., L, B) tiles (canonical in)."""
+    a, b = jnp.broadcast_arrays(a, b)
     t = _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L)
-    t_hi = t[L - 1 :]  # (L+1, B)
-    mu_b = jnp.broadcast_to(mu, (L + 1, B))
-    prod2 = _carry_propagate(_mul_columns(t_hi, mu_b, 2 * L + 2), 2 * L + 2)
-    qhat = prod2[L + 1 : 2 * L + 1]  # (L, B)
-    p_b = jnp.broadcast_to(p_arr, (L, B))
-    qp = _carry_propagate(_mul_columns(qhat, p_b, L + 1), L + 1)
-    r, _ = _sub_with_borrow(t[: L + 1], qp)
-    p_pad = jnp.concatenate([p_b, jnp.zeros((1, B), U32)], axis=0)
+    t_hi = t[..., L - 1 :, :]  # (..., L+1, B)
+    prod2 = _carry_propagate(
+        _mul_columns(t_hi, _bcast_const(mu, a, L + 1), 2 * L + 2), 2 * L + 2
+    )
+    qhat = prod2[..., L + 1 : 2 * L + 1, :]  # (..., L, B)
+    qp = _carry_propagate(
+        _mul_columns(qhat, _bcast_const(p_arr, a, L), L + 1), L + 1
+    )
+    r, _ = _sub_with_borrow(t[..., : L + 1, :], qp)
+    p_pad = jnp.concatenate(
+        [_bcast_const(p_arr, a, L), jnp.zeros(a.shape[:-2] + (1, a.shape[-1]), U32)],
+        axis=-2,
+    )
     r = _cond_sub(_cond_sub(r, p_pad), p_pad)
-    return r[:L]
+    return r[..., :L, :]
 
 
 def _add_lm(a, b, p_arr, L):
-    B = a.shape[1]
+    a, b = jnp.broadcast_arrays(a, b)
     s = _carry_propagate(a + b, L + 1)
     p_pad = jnp.concatenate(
-        [jnp.broadcast_to(p_arr, (L, B)), jnp.zeros((1, B), U32)], axis=0
+        [_bcast_const(p_arr, a, L), jnp.zeros(a.shape[:-2] + (1, a.shape[-1]), U32)],
+        axis=-2,
     )
-    return _cond_sub(s, p_pad)[:L]
+    return _cond_sub(s, p_pad)[..., :L, :]
 
 
 def _sub_lm(a, b, p_arr, L):
-    B = a.shape[1]
+    a, b = jnp.broadcast_arrays(a, b)
     d, borrow = _sub_with_borrow(a, b)
-    fixed = _carry_propagate(d + jnp.broadcast_to(p_arr, (L, B)), L)
-    return jnp.where((borrow > 0)[None, :], fixed, d)
+    fixed = _carry_propagate(d + _bcast_const(p_arr, a, L), L)
+    return jnp.where((borrow > 0)[..., None, :], fixed, d)
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ axis is -2.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,19 @@ class NttPlan(NamedTuple):
     n_inv: jnp.ndarray  # (L,)
     coset_pow: jnp.ndarray  # (n, L) powers of the coset generator g
     coset_ipow: jnp.ndarray  # (n, L) powers of g^-1
+    # mixed-radix pallas-kernel plans (ops/ntt_mr.MrPlanSet) — present for
+    # sizes >= 2^MR_MIN_LOG; used when the pallas path is enabled
+    mr: Optional[object] = None
+
+
+# minimum log-size for the mixed-radix pallas path
+MR_MIN_LOG = 12
+
+
+def _use_mr(plan: NttPlan) -> bool:
+    from ..fields import pallas as fp
+
+    return plan.mr is not None and fp.use_pallas()
 
 
 def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, tw_flat: jnp.ndarray) -> jnp.ndarray:
@@ -66,12 +79,20 @@ def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, tw_flat: jnp.ndarray) -> 
 
 def fft(spec: FieldSpec, plan: NttPlan, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Coefficients -> evaluations at [1, w, w^2, ...] (natural order)."""
+    if _use_mr(plan):
+        from . import ntt_mr
+
+        return ntt_mr.transform(spec, plan.mr.fwd, coeffs)
     x = jnp.take(coeffs, plan.bitrev, axis=-2)
     return _butterfly_stages(spec, x, plan.tw)
 
 
 def ifft(spec: FieldSpec, plan: NttPlan, evals: jnp.ndarray) -> jnp.ndarray:
     """Evaluations -> coefficients."""
+    if _use_mr(plan):
+        from . import ntt_mr
+
+        return ntt_mr.transform(spec, plan.mr.inv, evals)
     x = jnp.take(evals, plan.bitrev, axis=-2)
     x = _butterfly_stages(spec, x, plan.tw_inv)
     return fd.mul(spec, x, plan.n_inv)
@@ -79,10 +100,18 @@ def ifft(spec: FieldSpec, plan: NttPlan, evals: jnp.ndarray) -> jnp.ndarray:
 
 def coset_fft(spec: FieldSpec, plan: NttPlan, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Evaluations over the coset g*H (arkworks ``coset_fft`` semantics)."""
+    if _use_mr(plan):
+        from . import ntt_mr
+
+        return ntt_mr.transform(spec, plan.mr.coset_fwd, coeffs)
     return fft(spec, plan, fd.mul(spec, coeffs, plan.coset_pow))
 
 
 def coset_ifft(spec: FieldSpec, plan: NttPlan, evals: jnp.ndarray) -> jnp.ndarray:
+    if _use_mr(plan):
+        from . import ntt_mr
+
+        return ntt_mr.transform(spec, plan.mr.coset_inv, evals)
     return fd.mul(spec, ifft(spec, plan, evals), plan.coset_ipow)
 
 

@@ -65,10 +65,15 @@ class Domain:
         cached = _plan_cache.get(key)
         if cached is not None:
             return cached
-        from ..ops.ntt import NttPlan
+        from ..ops.ntt import MR_MIN_LOG, NttPlan
 
         # numpy leaves: safe to build anywhere (never traced), valid jit args
         half = max(1, self.size // 2)
+        mr = None
+        if self.log_size >= MR_MIN_LOG:
+            from ..ops import ntt_mr
+
+            mr = ntt_mr.build_plan_set(self)
         plan = NttPlan(
             bitrev=self.bit_reversal_perm(),
             tw=self.powers_array(self.group_gen, half),
@@ -76,6 +81,7 @@ class Domain:
             n_inv=self.spec.encode([self.size_inv])[0],
             coset_pow=self.powers_array(self.coset_gen, self.size),
             coset_ipow=self.powers_array(self.coset_gen_inv, self.size),
+            mr=mr,
         )
         _plan_cache[key] = plan
         return plan
