@@ -1,2 +1,3 @@
-from . import kzg
+from . import ipa, kzg
+from .ipa import CommitterKeyIPA, IPAProof
 from .kzg import CommitterKey, VerifierKeyKZG
