@@ -21,6 +21,17 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def sync(x):
+    """Honest device sync: block_until_ready is a no-op through the axon
+    relay (it measures dispatch, not execution). Pull a few real elements
+    through device_get to force execution to finish."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jax.device_get(jnp.ravel(leaf)[:4]))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -43,13 +54,13 @@ def main():
     base = ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs)
     A = jnp.asarray(np.tile(base, (n // 1024, 1)))
     mulf = jax.jit(lambda x, y: fd.mul(spec, x, y))
-    mulf(A, A).block_until_ready()
+    sync(mulf(A, A))
     t0 = time.time()
     iters = 20
     C = A
     for _ in range(iters):
         C = mulf(C, A)
-    C.block_until_ready()
+    sync(C)
     mul_rate = n * iters / (time.time() - t0)
     log(f"field mul 2^20: {mul_rate/1e9:.2f} G/s")
 
@@ -62,13 +73,13 @@ def main():
     )
     plan = dom.plan_device()
     fftf = jax.jit(lambda pl, c: ntt.fft(dom.spec, pl, c))
-    fftf(plan, coeffs).block_until_ready()
+    sync(fftf(plan, coeffs))
     t0 = time.time()
     iters = 10
     out = coeffs
     for _ in range(iters):
         out = fftf(plan, out)
-    out.block_until_ready()
+    sync(out)
     ntt_time = (time.time() - t0) / iters
     log(f"NTT 2^14: {ntt_time*1e3:.2f} ms -> {1/ntt_time:.1f} NTT/s")
 
@@ -84,12 +95,12 @@ def main():
                 (n_ntt // 1024, 1))
     )
     r = committer._jit_commit(scalars, ck.powers, ck.b3)
-    jax.block_until_ready(r)
+    sync(r)
     t0 = time.time()
     iters = 3
     for _ in range(iters):
         r = committer._jit_commit(scalars, ck.powers, ck.b3)
-    jax.block_until_ready(r)
+    sync(r)
     msm_time = (time.time() - t0) / iters
     log(f"KZG commit 2^14 (Pippenger MSM): {msm_time*1e3:.1f} ms")
 

@@ -50,6 +50,15 @@ MR_MIN_LOG = 12
 
 
 def _use_mr(plan: NttPlan) -> bool:
+    # The multi-stage-in-VMEM column kernel currently exceeds Mosaic's 16MB
+    # scoped-vmem budget on real TPU (stack cost ~ F * lanes * limb-mul
+    # intermediates); until the stage-chunked redesign lands it is opt-in.
+    # The default TPU path (fori-loop stages + pallas field-mul) compiles
+    # and runs everywhere.
+    import os
+
+    if os.environ.get("ZKT_PLONK_NTT_MR", "0") != "1":
+        return False
     from ..fields import pallas as fp
 
     return plan.mr is not None and fp.use_pallas()

@@ -343,6 +343,18 @@ def device_plan(plan: MrPlan) -> MrPlan:
 # ---------------------------------------------------------------------------
 
 
+def _rep_concat(x, axis, target):
+    """Repeat x along ``axis`` to size ``target`` by concat-doubling.
+
+    Mosaic cannot lower a vector.broadcast that expands sublanes and lanes
+    at once (jnp broadcast chains get canonicalized into exactly that);
+    log2 concatenations lower cleanly and the copies are VMEM-local.
+    """
+    while x.shape[axis] < target:
+        x = jnp.concatenate([x, x], axis=axis)
+    return x
+
+
 def _butterflies(x, tws, L, p_arr, mu):
     """DIT butterflies along axis 0 of (F, L, M); rows pre-bitreversed."""
     F = x.shape[0]
@@ -355,15 +367,19 @@ def _butterflies(x, tws, L, p_arr, mu):
         H = 1 << s
         G = F // (2 * H)
         x4 = x.reshape(G, 2, H, L, lanes)
-        u, v = x4[:, 0], x4[:, 1]
+        u = x4[:, 0].reshape(G * H, L, lanes)
+        v = x4[:, 1].reshape(G * H, L, lanes)
         if s == 0:
             m = v
         else:
-            # lane-broadcast the twiddle slice first (Mosaic cannot
-            # broadcast sublanes and lanes in one op)
-            tw = jnp.broadcast_to(tws[H : 2 * H], (H, L, lanes))
-            m = mul(tw[None], v)
-        x = jnp.stack([add(u, m), sub(u, m)], axis=1).reshape(F, L, lanes)
+            # expand (H, L, 1) -> (G*H, L, lanes) without jnp broadcasts:
+            # concat-doubling on lanes, then row tiling (period H repeats)
+            tw = _rep_concat(tws[H : 2 * H], -1, lanes)
+            tw = _rep_concat(tw, 0, G * H)
+            m = mul(tw, v)
+        hi = add(u, m).reshape(G, 1, H, L, lanes)
+        lo = sub(u, m).reshape(G, 1, H, L, lanes)
+        x = jnp.concatenate([hi, lo], axis=1).reshape(F, L, lanes)
     return x
 
 
