@@ -1,5 +1,6 @@
-import sys, time
-sys.path.insert(0, '/root/repo')
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, random
 import jax, jax.numpy as jnp
 
@@ -7,6 +8,9 @@ from zkt_plonk_tpu.fields import BN254_FR, make_spec
 from zkt_plonk_tpu.fields.limbs import ints_to_array
 from zkt_plonk_tpu.ops import ntt, ntt_mr
 from zkt_plonk_tpu.utils.domain import make_domain
+
+# this repro exercises the MR pallas kernel: opt in BEFORE tracing
+ntt.enable_mr(True)
 
 logn = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 spec = make_spec(BN254_FR)
@@ -19,13 +23,16 @@ coeffs = jnp.asarray(np.tile(ints_to_array(vals, spec.n_limbs), (n // len(vals),
 plan = dom.plan_device()
 assert plan.mr is not None, "no mr plan at this size"
 
-fftf = jax.jit(lambda pl_, c: ntt.fft(dom.spec, pl_, c))
+# kernel side explicitly, so parity below is kernel-vs-jnp regardless of gates
+fftf = jax.jit(
+    lambda pl_, c: ntt_mr.transform(dom.spec, pl_.mr.fwd, c, use_kernel=True)
+)
 t0 = time.time()
 out = fftf(plan, coeffs)
 got = np.asarray(jax.device_get(out))
 print(f"compile+run ok in {time.time()-t0:.1f}s")
 
-# correctness vs jnp butterfly path
+# correctness vs jnp column-transform path
 ref = jax.jit(lambda pl_, c: ntt_mr.transform(dom.spec, pl_.mr.fwd, c, use_kernel=False))(plan, coeffs)
 refh = np.asarray(jax.device_get(ref))
 assert np.array_equal(got, refh), "MISMATCH kernel vs jnp"

@@ -75,7 +75,18 @@ def add(spec: FieldSpec, b3: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray) -> jnp
     expression DAG has 3 multiplicative layers): this keeps the number of
     distinct mul subgraphs — and therefore XLA compile time — constant, and
     gives the VPU larger fused batches at runtime.
+
+    Large batches on TPU route to the fused single-kernel pallas add
+    (``ops/ec_pallas.py``): the whole formula stays in VMEM instead of
+    round-tripping HBM between ~20 field-op kernels.
     """
+    from ..fields import pallas as fp
+
+    if fp.use_pallas():
+        from . import ec_pallas
+
+        if ec_pallas.eligible(p, q):
+            return ec_pallas.add(spec, b3, p, q)
     p, q = jnp.broadcast_arrays(p, q)
     X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
     X2, Y2, Z2 = q[..., 0, :], q[..., 1, :], q[..., 2, :]

@@ -49,15 +49,32 @@ class NttPlan(NamedTuple):
 MR_MIN_LOG = 12
 
 
+# Read ONCE at import: the gate's scope is process-wide and pre-trace
+# (flipping the env var after a round program has been traced would
+# silently do nothing).  Flip programmatically with ``enable_mr()``
+# BEFORE any jit tracing.
+import os as _os
+
+_MR_ENABLED = _os.environ.get("ZKT_PLONK_NTT_MR", "0") == "1"
+
+
+def enable_mr(on: bool = True) -> None:
+    """Opt the process in/out of the mixed-radix pallas NTT path.
+
+    Must be called before any round program is traced — the flag is read
+    at trace time and baked into the compiled executable.
+    """
+    global _MR_ENABLED
+    _MR_ENABLED = on
+
+
 def _use_mr(plan: NttPlan) -> bool:
     # The multi-stage-in-VMEM column kernel currently exceeds Mosaic's 16MB
     # scoped-vmem budget on real TPU (stack cost ~ F * lanes * limb-mul
     # intermediates); until the stage-chunked redesign lands it is opt-in.
     # The default TPU path (fori-loop stages + pallas field-mul) compiles
     # and runs everywhere.
-    import os
-
-    if os.environ.get("ZKT_PLONK_NTT_MR", "0") != "1":
+    if not _MR_ENABLED:
         return False
     from ..fields import pallas as fp
 

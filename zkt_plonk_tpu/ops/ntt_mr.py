@@ -349,9 +349,17 @@ def _rep_concat(x, axis, target):
     Mosaic cannot lower a vector.broadcast that expands sublanes and lanes
     at once (jnp broadcast chains get canonicalized into exactly that);
     log2 concatenations lower cleanly and the copies are VMEM-local.
+
+    When ``target`` is not a power-of-two multiple of the source size
+    (e.g. batch=3 lane counts), doubling overshoots — trim back with a
+    zero-offset slice.  Correct for both uses: lane expansion from 1 and
+    axis-0 tiling, where ``target`` is a multiple of the source period H
+    (slicing 2^k*H rows down to G*H keeps whole periods).
     """
     while x.shape[axis] < target:
         x = jnp.concatenate([x, x], axis=axis)
+    if x.shape[axis] != target:
+        x = jax.lax.slice_in_dim(x, 0, target, axis=axis)
     return x
 
 
