@@ -32,8 +32,9 @@ def test_group_law():
     assert ch.add(g, None) == g
 
 
-def test_pairing_bilinearity_bn254():
-    ctx = make_context("bn254")
+@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+def test_pairing_bilinearity(name):
+    ctx = make_context(name)
     rng = random.Random(11)
     a = rng.randrange(1, 2**30)
     b = rng.randrange(1, 2**30)
@@ -44,9 +45,10 @@ def test_pairing_bilinearity_bn254():
     assert e_ab == e_base.pow(a * b)
 
 
-def test_pairing_product_check_bn254():
+@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+def test_pairing_product_check(name):
     # e(aG1, G2) * e(-G1, aG2) == 1
-    ctx = make_context("bn254")
+    ctx = make_context(name)
     a = 987654321
     p1 = ch.scalar_mul(ctx.g1, a)
     q1 = ctx.g2

@@ -76,3 +76,65 @@ def test_tampered_proof_fails(srs):
     proof.evaluations.a = (proof.evaluations.a + 1) % instance.p
     with pytest.raises(VerificationError):
         instance.verify(compiled, proof, [10, 2])
+
+
+# ---------------------------------------------------------------------------
+# PC-scheme and curve matrix (reference ``batch_test_kzg!``/``batch_test_ipa!``
+# over Bn254/Bls12-381, ``plonk-core/src/test.rs:16-90`` + ``plonk.rs:220-254``)
+# ---------------------------------------------------------------------------
+
+
+class SmallCircuitDef:
+    """Minimal circuit exercising arith + PI + lookup (fits n = 8)."""
+
+    def __init__(self, a=2, b=3):
+        self.a, self.b = a, b
+
+    def synthesize(self, cs):
+        a = cs.assign_variable(self.a)
+        b = cs.assign_variable(self.b)
+        c = cs.mul_gate(lt(a), lt(b))
+        cs.set_variable_public(lt(c))
+        cs.lookup_constrain(lt(a))
+
+
+def test_full_prove_verify_ipa():
+    """Full PLONK pipeline over the IPA commitment scheme."""
+    from zkt_plonk_tpu.commitment import ipa
+
+    table = LookupTable([1, 2, 5], size=4)
+    instance = ZKTPlonk(curve="bn254", table=table)
+    ck, cvk = ipa.setup("bn254", max_degree=32)
+
+    compiled = instance.compile(SmallCircuitDef(), ck, cvk)
+    proof = instance.prove(compiled, SmallCircuitDef(), random.Random(11))
+    instance.verify(compiled, proof, [6])
+
+    with pytest.raises((VerificationError, AssertionError)):
+        instance.verify(compiled, proof, [7])
+
+    # tampering with the opening proof must fail
+    proof.evaluations.a = (proof.evaluations.a + 1) % instance.p
+    with pytest.raises(VerificationError):
+        instance.verify(compiled, proof, [6])
+
+
+def test_full_prove_verify_bls12_381():
+    """Full pipeline over BLS12-381 + KZG + Merlin transcript."""
+    from zkt_plonk_tpu.transcript.merlin import MerlinTranscript
+
+    table = LookupTable([1, 2, 5], size=4)
+    instance = ZKTPlonk(
+        curve="bls12_381",
+        transcript_factory=lambda label: MerlinTranscript(label, coord_bytes=48),
+        table=table,
+    )
+    ctx = make_context("bls12_381")
+    ck, cvk = kzg.setup(ctx, max_degree=64, tau=24680)
+
+    compiled = instance.compile(SmallCircuitDef(), ck, cvk)
+    proof = instance.prove(compiled, SmallCircuitDef(), random.Random(12))
+    instance.verify(compiled, proof, [6])
+
+    with pytest.raises((VerificationError, AssertionError)):
+        instance.verify(compiled, proof, [7])

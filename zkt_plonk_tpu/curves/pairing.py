@@ -5,8 +5,15 @@ Replaces the arkworks ``PairingEngine`` the reference's KZG check relies on
 Verification cost is O(1) pairings, so a clear Python-int implementation is
 the right tool; the prover never computes pairings.
 
-Conventions (see ``curves/tower.py``): D-type sextic twist with untwist
-psi(x, y) = (x*w^2, y*w^3), Fq12 = Fq6[w]/(w^2 - v), v^3 = xi.
+Conventions (see ``curves/tower.py``): Fq12 = Fq6[w]/(w^2 - v), v^3 = xi.
+Twist handling follows ``CurveParams.twist_type``:
+
+* D-type (BN254, b2 = b/xi): untwist psi(x, y) = (x*w^2, y*w^3) maps the
+  twist into E(Fq12); the line evaluated at P in G1 is sparse as
+  yp + (-lam*xp)*w + (lam*x_t - y_t)*w^3.
+* M-type (BLS12-381, b2 = b*xi): instead P is mapped ONTO the twist via
+  (xp*w^2, yp*w^3); the twist-curve line evaluated there is sparse as
+  (lam*x_t - y_t) + (-lam*xp)*w^2 + yp*w^3.
 
 BN254:  ate loop 6t+2 (t = 4965661367192848881) + two frobenius line steps.
 BLS12-381: ate loop |z| with a final conjugation (z < 0).
@@ -24,18 +31,13 @@ def _embed_fq(ctx: CurveCtx, v) -> Fq2:
     return Fq2(ctx.tower, int(v), 0)
 
 
-def _line_to_fq12(ctx: CurveCtx, a0: Fq2, a1: Fq2, a3: Fq2) -> Fq12:
-    """l = a0 + a1*w + a3*w^3 as a full Fq12 element (w^3 = v*w)."""
-    z = Fq2.zero(ctx.tower)
-    return Fq12(Fq6(a0, z, z), Fq6(a1, a3, z))
-
-
 def _line_eval(ctx: CurveCtx, t, q, p) -> Tuple[Fq12, Tuple[Fq2, Fq2]]:
     """Line through twist points t, q (affine Fq2 coords), evaluated at
     p = (xp, yp) in G1.  Returns (line value in Fq12, t + q on the twist).
 
-    For the untwist psi(x,y) = (x w^2, y w^3), slope lam on the twist gives
-    l(P) = yp - lam*xp*w + (lam*x_t - y_t)*w^3.
+    D-type: l(P) = yp - lam*xp*w + (lam*x_t - y_t)*w^3.
+    M-type: l(P) = (lam*x_t - y_t) - lam*xp*w^2 + yp*w^3.
+    (w^2 = v, w^3 = v*w in the Fq12 = Fq6[w], Fq6 = Fq2[v] tower.)
     """
     x1, y1 = t
     x2, y2 = q
@@ -47,10 +49,15 @@ def _line_eval(ctx: CurveCtx, t, q, p) -> Tuple[Fq12, Tuple[Fq2, Fq2]]:
     x3 = lam.square() - x1 - x2
     y3 = lam * (x1 - x3) - y1
 
-    a0 = _embed_fq(ctx, p[1])
-    a1 = -(lam * int(p[0]))
-    a3 = lam * x1 - y1
-    return _line_to_fq12(ctx, a0, a1, a3), (x3, y3)
+    yp = _embed_fq(ctx, p[1])
+    mlxp = -(lam * int(p[0]))
+    ct = lam * x1 - y1
+    z = Fq2.zero(ctx.tower)
+    if ctx.curve.twist_type == "D":
+        line = Fq12(Fq6(yp, z, z), Fq6(mlxp, ct, z))
+    else:  # M-type
+        line = Fq12(Fq6(ct, mlxp, z), Fq6(z, yp, z))
+    return line, (x3, y3)
 
 
 def _g2_frobenius(ctx: CurveCtx, q: Tuple[Fq2, Fq2]) -> Tuple[Fq2, Fq2]:

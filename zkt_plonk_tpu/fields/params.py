@@ -56,6 +56,9 @@ class CurveParams:
     ate_loop_count: Optional[int] = None
     ate_is_negative: bool = False
     curve_family: str = "bn"  # "bn" | "bls"
+    # "D": E' y^2 = x^3 + b/xi (bn254); "M": E' y^2 = x^3 + b*xi (bls12-381).
+    # Determines the untwist map and therefore the sparse line embedding.
+    twist_type: str = "D"
 
 
 # --------------------------------------------------------------------------
@@ -148,6 +151,7 @@ BLS12_381 = CurveParams(
     ate_loop_count=0xD201000000010000,
     ate_is_negative=True,
     curve_family="bls",
+    twist_type="M",  # b2 = 4*(1+u) = b*xi
 )
 
 # --------------------------------------------------------------------------

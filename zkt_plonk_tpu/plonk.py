@@ -13,6 +13,7 @@ from dataclasses import dataclass
 from typing import Callable, List, Optional, Protocol
 
 from .commitment import kzg
+from .commitment import scheme as scheme_mod
 from .cs import ConstraintSystem, LookupTable
 from .curves import make_context
 from .proof_system.keys import ExtendedProverKey, ProverKey, VerifierKey
@@ -30,8 +31,10 @@ class Circuit(Protocol):
 
 @dataclass(eq=False)
 class CompiledCircuit:
-    ck: kzg.CommitterKey
-    cvk: kzg.VerifierKeyKZG
+    # keys are scheme-dispatched: KZG (kzg.CommitterKey/VerifierKeyKZG) or
+    # IPA (ipa.CommitterKeyIPA, self-dual) — see commitment/scheme.py
+    ck: object
+    cvk: object
     pk: ProverKey
     epk: Optional[ExtendedProverKey]
     vk: VerifierKey
@@ -58,15 +61,15 @@ class ZKTPlonk:
     def compile(
         self,
         circuit: Circuit,
-        ck: kzg.CommitterKey,
-        cvk: kzg.VerifierKeyKZG,
+        ck,
+        cvk,
         extend: bool = True,
     ) -> CompiledCircuit:
         cs = ConstraintSystem(self.p, setup=True, lookup_table=self.table)
         circuit.synthesize(cs)
 
         bound = cs.circuit_bound()
-        ck_t, cvk_t = kzg.trim(ck, cvk, bound * 4)
+        ck_t, cvk_t = scheme_mod.for_key(ck).trim(ck, cvk, bound * 4)
         pk, epk, vk = setup_mod.setup(
             ck_t, cs.setup, self.table, bound, extend=extend
         )

@@ -129,7 +129,13 @@ class Proof:
         eta = transcript.challenge_scalar("eta")
         ev = self.evaluations
 
-        ok1 = kzg.check(
+        # scheme-dispatched batch-opening checks (reference ``PC::check``,
+        # ``proof.rs:441-501``): KZG = pairing equations, IPA = folding
+        # argument verification.
+        from ..commitment import scheme as scheme_mod
+
+        pc = scheme_mod.for_key(cvk)
+        ok1 = pc.check_batch(
             cvk,
             [
                 r_commit,
@@ -146,18 +152,20 @@ class Proof:
             [r0, ev.a, ev.b, ev.c, ev.sigma1, ev.sigma2, ev.q_lookup, ev.t, ev.h2],
             self.aw_opening,
             eta,
+            b"aw",
         )
         if not ok1:
             raise VerificationError("proof verification failed at step 1")
 
         wxi = xi * vk.domain_gen % p
-        ok2 = kzg.check(
+        ok2 = pc.check_batch(
             cvk,
             [self.z1_commit, self.z2_commit, self.t_commit, self.h1_commit],
             wxi,
             [ev.z1_next, ev.z2_next, ev.t_next, ev.h1_next],
             self.saw_opening,
             eta,
+            b"saw",
         )
         if not ok2:
             raise VerificationError("proof verification failed at step 2")

@@ -52,12 +52,14 @@ class Prover:
 
     def __init__(
         self,
-        ck: kzg.CommitterKey,
+        ck,  # kzg.CommitterKey | ipa.CommitterKeyIPA (scheme-dispatched)
         pk: ProverKey,
         epk: ExtendedProverKey,
         vk: VerifierKey,
         lookup_table: LookupTable,
     ):
+        from ..commitment import scheme as scheme_mod
+
         self.ck = ck
         self.pk = pk
         self.epk = epk
@@ -69,7 +71,8 @@ class Prover:
         self.domain4 = make_domain(self.ctx.curve.fr, 4 * self.n)
         self.spec = self.domain.spec
         self.p = self.spec.modulus
-        self.committer = kzg.Committer(ck)
+        self.scheme = scheme_mod.for_key(ck)
+        self.committer = self.scheme.committer(ck)
         self._plan = self.domain.plan_device()
         self._plan4 = self.domain4.plan_device()
         self._tables: Dict = {
@@ -506,17 +509,12 @@ class Prover:
         )
         saw_polys = jnp.stack([z_polys[0], z_polys[1], th_polys[0], th_polys[1]])
 
-        xi_inv_powers = _inv_powers_arr(spec, xi, n + 4, p)
-        wxi_inv_powers = _inv_powers_arr(spec, wxi, n + 4, p)
-
         with section("openings"):
-            aw_w = self._open_batch(
-                aw_polys, _powers_arr(spec, eta, 9, p), xi_powers, xi_inv_powers
-            )
-            saw_w = self._open_batch(
-                saw_polys, _powers_arr(spec, eta, 4, p), wxi_powers, wxi_inv_powers
-            )
-            aw_aff, saw_aff = self.committer.commit_many(jnp.stack([aw_w, saw_w]))
+            # scheme-dispatched (reference ``PC::open``): KZG folds + divides
+            # on device and commits one W point; IPA runs the log-round
+            # folding argument on the eta-aggregated polynomial.
+            aw_aff = self.scheme.open_batch(self, aw_polys, xi, None, eta, b"aw")
+            saw_aff = self.scheme.open_batch(self, saw_polys, wxi, None, eta, b"saw")
 
         return Proof(
             a_commit=abc_aff[0],

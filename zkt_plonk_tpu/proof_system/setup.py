@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..commitment import kzg
+from ..commitment import scheme as scheme_mod
 from ..cs.composer import SetupComposer, K1, K2
 from ..cs.lookup import LookupTable
 from ..fields import device as fd
@@ -29,7 +30,7 @@ MIN_CIRCUIT_SIZE = 8  # quotient split needs 3n+6 <= 4n
 
 
 def setup(
-    ck: kzg.CommitterKey,
+    ck,  # kzg.CommitterKey | ipa.CommitterKeyIPA (scheme-dispatched)
     composer: SetupComposer,
     lookup_table: LookupTable,
     circuit_bound: int,
@@ -71,7 +72,8 @@ def setup(
     # n+4 coefficients — the same padded shape the prover uses for witness
     # polynomials — so one compiled MSM serves the whole pipeline
     padded = jnp.pad(polys_arr, ((0, 0), (0, 4), (0, 0)))
-    commit_points = kzg.Committer(ck).commit_many(padded)
+    committer = scheme_mod.for_key(ck).committer(ck)
+    commit_points = committer.commit_many(padded)
     commits = {name: commit_points[i] for i, name in enumerate(POLY_ORDER)}
 
     pk = ProverKey(n=n, polys={name: polys_arr[i] for i, name in enumerate(POLY_ORDER)})

@@ -108,10 +108,16 @@ class Strobe128:
 
 class MerlinTranscript:
     """Drop-in transcript with the prover/verifier interface
-    (labels ARE significant, unlike the Ethereum transcript)."""
+    (labels ARE significant, unlike the Ethereum transcript).
 
-    def __init__(self, label: str = ""):
+    ``coord_bytes`` is the fixed serialized width of an affine point
+    coordinate (arkworks CanonicalSerialize is field-sized): 32 covers
+    BN254; pass 48 for BLS12-381 (e.g. ``transcript_factory=lambda
+    label: MerlinTranscript(label, coord_bytes=48)``)."""
+
+    def __init__(self, label: str = "", coord_bytes: int = 32):
         self.strobe = Strobe128(b"Merlin v1.0")
+        self.coord_bytes = coord_bytes
         self._append_message(b"dom-sep", label.encode())
 
     def _append_message(self, label: bytes, message: bytes):
@@ -134,28 +140,21 @@ class MerlinTranscript:
         data = b"".join(int(v).to_bytes(32, "little") for v in items)
         self._append_message(label.encode(), data)
 
-    def append_commitment(self, label: str, point):
+    def _point_bytes(self, point) -> bytes:
+        w = self.coord_bytes
         if point is None:
-            data = (0).to_bytes(32, "little") + (0).to_bytes(32, "little") + b"\x01"
-        else:
-            data = (
-                int(point[0]).to_bytes(32, "little")
-                + int(point[1]).to_bytes(32, "little")
-                + b"\x00"
-            )
-        self._append_message(label.encode(), data)
+            return (0).to_bytes(2 * w, "little") + b"\x01"
+        return (
+            int(point[0]).to_bytes(w, "little")
+            + int(point[1]).to_bytes(w, "little")
+            + b"\x00"
+        )
+
+    def append_commitment(self, label: str, point):
+        self._append_message(label.encode(), self._point_bytes(point))
 
     def append_commitments(self, label: str, points):
-        data = b""
-        for pt in points:
-            if pt is None:
-                data += (0).to_bytes(64, "little") + b"\x01"
-            else:
-                data += (
-                    int(pt[0]).to_bytes(32, "little")
-                    + int(pt[1]).to_bytes(32, "little")
-                    + b"\x00"
-                )
+        data = b"".join(self._point_bytes(pt) for pt in points)
         self._append_message(label.encode(), data)
 
     def challenge_scalar(self, label: str, num_bytes: int = 31) -> int:
