@@ -1,4 +1,5 @@
-"""Host curve + pairing tests (BN254 primary, BLS12-381 group ops)."""
+"""Host curve + pairing tests over the full reference curve matrix
+(Bn254 / Bls12-381 / Bls12-377 — ``plonk-core/src/plonk.rs:220-254``)."""
 
 import random
 
@@ -7,14 +8,14 @@ import pytest
 from zkt_plonk_tpu.curves import make_context, curve_host as ch, pairing
 
 
-@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377"])
 def test_generators_on_curve(name):
     ctx = make_context(name)
     assert ch.is_on_curve(ctx.g1, ctx.b)
     assert ch.is_on_curve(ctx.g2, ctx.b2)
 
 
-@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377"])
 def test_group_order(name):
     ctx = make_context(name)
     r = ctx.curve.fr.modulus
@@ -32,7 +33,7 @@ def test_group_law():
     assert ch.add(g, None) == g
 
 
-@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377"])
 def test_pairing_bilinearity(name):
     ctx = make_context(name)
     rng = random.Random(11)
@@ -45,7 +46,7 @@ def test_pairing_bilinearity(name):
     assert e_ab == e_base.pow(a * b)
 
 
-@pytest.mark.parametrize("name", ["bn254", "bls12_381"])
+@pytest.mark.parametrize("name", ["bn254", "bls12_381", "bls12_377"])
 def test_pairing_product_check(name):
     # e(aG1, G2) * e(-G1, aG2) == 1
     ctx = make_context(name)

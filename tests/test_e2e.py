@@ -119,21 +119,26 @@ def test_full_prove_verify_ipa():
         instance.verify(compiled, proof, [6])
 
 
-def test_full_prove_verify_bls12_381():
-    """Full pipeline over BLS12-381 + KZG + Merlin transcript."""
+@pytest.mark.parametrize("curve,tau,seed", [
+    ("bls12_381", 24680, 12),
+    ("bls12_377", 13579, 13),
+])
+def test_full_prove_verify_bls_curves(curve, tau, seed):
+    """Full pipeline over the BLS curves + KZG + Merlin transcript
+    (48-byte field coordinates in both cases)."""
     from zkt_plonk_tpu.transcript.merlin import MerlinTranscript
 
     table = LookupTable([1, 2, 5], size=4)
     instance = ZKTPlonk(
-        curve="bls12_381",
+        curve=curve,
         transcript_factory=lambda label: MerlinTranscript(label, coord_bytes=48),
         table=table,
     )
-    ctx = make_context("bls12_381")
-    ck, cvk = kzg.setup(ctx, max_degree=64, tau=24680)
+    ctx = make_context(curve)
+    ck, cvk = kzg.setup(ctx, max_degree=64, tau=tau)
 
     compiled = instance.compile(SmallCircuitDef(), ck, cvk)
-    proof = instance.prove(compiled, SmallCircuitDef(), random.Random(12))
+    proof = instance.prove(compiled, SmallCircuitDef(), random.Random(seed))
     instance.verify(compiled, proof, [6])
 
     with pytest.raises((VerificationError, AssertionError)):

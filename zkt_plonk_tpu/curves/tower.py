@@ -25,6 +25,10 @@ class TowerCtx:
     p: int
     # xi = xi0 + xi1*u, the Fq6 cubic non-residue
     xi: Tuple[int, int]
+    # u^2 = -beta (beta = curve.fq2_nonresidue): 1 for bn254/bls12-381, 5
+    # for bls12-377.  -beta must be a quadratic non-residue mod p so that
+    # Fq2 is a field and x^p = conjugate(x).
+    beta: int = 1
 
     @staticmethod
     def for_curve(curve: CurveParams) -> "TowerCtx":
@@ -32,11 +36,14 @@ class TowerCtx:
             return TowerCtx(p=curve.fq.modulus, xi=(9, 1))
         if curve.name == "bls12_381":
             return TowerCtx(p=curve.fq.modulus, xi=(1, 1))
+        if curve.name == "bls12_377":
+            # Fq6 = Fq2[v]/(v^3 - u): xi = u (arkworks bls12_377 tower)
+            return TowerCtx(p=curve.fq.modulus, xi=(0, 1), beta=curve.fq2_nonresidue)
         raise ValueError(curve.name)
 
 
 class Fq2:
-    """a + b*u with u^2 = -1. Immutable."""
+    """a + b*u with u^2 = -beta. Immutable."""
 
     __slots__ = ("ctx", "a", "b")
 
@@ -76,13 +83,13 @@ class Fq2:
         t0 = self.a * o.a % p
         t1 = self.b * o.b % p
         t2 = (self.a + self.b) * (o.a + o.b) % p
-        return self._new(t0 - t1, t2 - t0 - t1)
+        return self._new(t0 - self.ctx.beta * t1, t2 - t0 - t1)
 
     __rmul__ = __mul__
 
     def square(self):
         p = self.ctx.p
-        t0 = (self.a + self.b) * (self.a - self.b) % p
+        t0 = (self.a * self.a - self.ctx.beta * self.b * self.b) % p
         t1 = 2 * self.a * self.b % p
         return self._new(t0, t1)
 
@@ -91,7 +98,7 @@ class Fq2:
 
     def inverse(self):
         p = self.ctx.p
-        norm = (self.a * self.a + self.b * self.b) % p
+        norm = (self.a * self.a + self.ctx.beta * self.b * self.b) % p
         ninv = pow(norm, -1, p)
         return self._new(self.a * ninv, -self.b * ninv)
 

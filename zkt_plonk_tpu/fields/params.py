@@ -155,8 +155,18 @@ BLS12_381 = CurveParams(
 )
 
 # --------------------------------------------------------------------------
-# BLS12-377 (scalar field only for now — used by the reference test matrix)
+# BLS12-377 — third curve of the reference test matrix
+# (``plonk-core/src/plonk.rs:220-254`` stamps tests over Bn254 /
+# Bls12-377 / Bls12-381).  Tower: Fq2 = Fq[u]/(u^2 + 5),
+# Fq6 = Fq2[v]/(v^3 - u) — note xi = u, unlike the other two curves.
 # --------------------------------------------------------------------------
+
+BLS12_377_FQ = FieldParams(
+    name="bls12_377_fq",
+    modulus=0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001,
+    generator=15,
+    two_adicity=46,
+)
 
 BLS12_377_FR = FieldParams(
     name="bls12_377_fr",
@@ -165,10 +175,49 @@ BLS12_377_FR = FieldParams(
     two_adicity=47,
 )
 
-CURVES = {"bn254": BN254, "bls12_381": BLS12_381}
+BLS12_377 = CurveParams(
+    name="bls12_377",
+    fq=BLS12_377_FQ,
+    fr=BLS12_377_FR,
+    b=1,
+    g1=(
+        81937999373150964239938255573465948239988671502647976594219695644855304257327692006745978603320413799295628339695,
+        241266749859715473739788878240585681733927191168601896383759122102112907357779751001206799952863815012735208165030,
+    ),
+    fq2_nonresidue=5,  # u^2 = -5
+    # D-type twist: b2 = b/xi = 1/u = (0, -(1/5) mod q)
+    b2=(
+        0,
+        155198655607781456406391640216936120121836107652948796323930557600032281009004493664981332883744016074664192874906,
+    ),
+    g2=(
+        (
+            233578398248691099356572568220835526895379068987715365179118596935057653620464273615301663571204657964920925606294,
+            140913150380207355837477652521042157274541796891053068589147167627541651775299824604154852141315666357241556069118,
+        ),
+        (
+            63160294768292073209381361943935198908131692476676907196754037919244929611450776219210369229519898517858833747423,
+            149157405641012693445398062341192467754805999074082136895788947234480009303640899064710353187729182149407503257491,
+        ),
+    ),
+    # BLS parameter x = 0x8508c00000000001 (positive)
+    ate_loop_count=0x8508C00000000001,
+    ate_is_negative=False,
+    curve_family="bls",
+    twist_type="D",
+)
+
+CURVES = {"bn254": BN254, "bls12_381": BLS12_381, "bls12_377": BLS12_377}
 FIELDS = {
     p.name: p
-    for p in (BN254_FQ, BN254_FR, BLS12_381_FQ, BLS12_381_FR, BLS12_377_FR)
+    for p in (
+        BN254_FQ,
+        BN254_FR,
+        BLS12_381_FQ,
+        BLS12_381_FR,
+        BLS12_377_FQ,
+        BLS12_377_FR,
+    )
 }
 
 
