@@ -41,6 +41,44 @@ def test_pallas_kernel_matches_ints(params, op):
     assert got == want
 
 
+@pytest.mark.parametrize("params", [BN254_FR, BLS12_381_FR], ids=lambda p: p.name)
+def test_pallas_mul_adversarial(params):
+    """Stress the truncated-Barrett floor-error budget (q-3 <= qhat <= q).
+
+    Products engineered to land just above multiples of p (fractional part
+    of t/p near 0/1 maximizes the chance a floor-error shows), extreme limb
+    patterns, and power-of-two structure.
+    """
+    spec = make_spec(params)
+    p = spec.modulus
+    rng = random.Random(99)
+    pairs = []
+    # a*b == target mod p for targets at the reduction boundaries
+    for tgt in [0, 1, 2, 3, p - 1, p - 2, p - 3]:
+        for _ in range(32):
+            a = rng.randrange(1, p)
+            b = tgt * pow(a, -1, p) % p
+            pairs.append((a, b))
+    # extreme operands / limb patterns
+    fixtures = [0, 1, 2, p - 1, p - 2, (p - 1) // 2, (p + 1) // 2]
+    fixtures += [((1 << k) - 1) % p for k in range(16, 16 * spec.n_limbs + 1, 16)]
+    fixtures += [(1 << k) % p for k in range(15, 16 * spec.n_limbs, 16)]
+    for x in fixtures:
+        for y in fixtures:
+            pairs.append((x, y))
+    while len(pairs) % fp.BLOCK:
+        pairs.append((rng.randrange(p), rng.randrange(p)))
+
+    a_i = [x for x, _ in pairs]
+    b_i = [y for _, y in pairs]
+    A = jnp.asarray(ints_to_array(a_i, spec.n_limbs))
+    B = jnp.asarray(ints_to_array(b_i, spec.n_limbs))
+    out = fp.binary_op(spec, "mul", A, B, interpret=True)
+    got = array_to_ints(np.asarray(out))
+    want = [x * y % p for x, y in zip(a_i, b_i)]
+    assert got == want
+
+
 def test_pallas_padding_and_batch_dims():
     """Non-multiple-of-block sizes and leading batch axes round-trip."""
     spec = make_spec(BN254_FR)

@@ -113,33 +113,48 @@ def _sub_with_borrow(a, b):
     return diff, gg[..., n - 1, :]
 
 
-def _mul_columns(a, b, ncols):
-    """Column sums of a*b: a (..., La, B), b (..., Lb, B) -> (..., ncols, B).
+def _mul_columns(a, b, ncols, col_lo=0):
+    """Column sums of a*b restricted to columns [col_lo, ncols).
 
-    Block-shifted accumulation: per source limb i one (..., Lb, B) product
-    and two shifted full-width adds; rows sliced beyond ncols are DCE'd.
+    a (..., La, B), b (..., Lb, B) -> (..., ncols-col_lo, B); output row r
+    is column ``col_lo + r``.  Per source limb i only the b-slice whose
+    products land in the column window is multiplied — the truncation that
+    makes the Barrett mu/qp products ~40% cheaper.  Columns below col_lo
+    (and hi-parts crossing into col_lo from below) are DROPPED, so a
+    col_lo-truncated product UNDERestimates the exact value by
+    < 2*La*beta^(col_lo+1) — callers must absorb that in their floor-error
+    budget (see ``_barrett_mul_lm``).
     """
-    La = a.shape[-2]
+    La, Lb = a.shape[-2], b.shape[-2]
+    R = ncols - col_lo
 
     def place(x, off):
-        k = min(x.shape[-2], ncols - off)
-        if k <= 0:
+        """Place x rows at output rows [off, off+k), clipped to [0, R)."""
+        k = x.shape[-2]
+        lo_clip = max(0, -off)
+        hi_clip = min(k, R - off)
+        if lo_clip >= hi_clip:
             return None
+        x = x[..., lo_clip:hi_clip, :]
+        pre = off + lo_clip
+        post = R - pre - (hi_clip - lo_clip)
         parts = []
-        if off:
-            parts.append(jnp.zeros(x.shape[:-2] + (off, x.shape[-1]), U32))
-        parts.append(x[..., :k, :])
-        if off + k < ncols:
-            parts.append(
-                jnp.zeros(x.shape[:-2] + (ncols - off - k, x.shape[-1]), U32)
-            )
+        if pre:
+            parts.append(jnp.zeros(x.shape[:-2] + (pre, x.shape[-1]), U32))
+        parts.append(x)
+        if post:
+            parts.append(jnp.zeros(x.shape[:-2] + (post, x.shape[-1]), U32))
         return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else parts[0]
 
     acc = None
     for i in range(La):
-        prod = a[..., i : i + 1, :] * b
-        lo = place(prod & MASK, i)
-        hi = place(prod >> LIMB_BITS, i + 1)
+        j_lo = max(0, col_lo - i)
+        j_hi = min(Lb, ncols - i)
+        if j_lo >= j_hi:
+            continue
+        prod = a[..., i : i + 1, :] * b[..., j_lo:j_hi, :]
+        lo = place(prod & MASK, i + j_lo - col_lo)
+        hi = place(prod >> LIMB_BITS, i + j_lo - col_lo + 1)
         for part in (lo, hi):
             if part is not None:
                 acc = part if acc is None else acc + part
@@ -162,14 +177,27 @@ def _bcast_const(c, like, rows):
 
 
 def _barrett_mul_lm(a, b, p_arr, mu, L):
-    """Full Barrett modmul on limb-major (..., L, B) tiles (canonical in)."""
+    """Full Barrett modmul on limb-major (..., L, B) tiles (canonical in).
+
+    Word-aligned Barrett (HAC 14.42 with beta^L words): with
+    mu = floor(beta^{2L}/p) and t_hi = floor(t/beta^{L-1}), the exact
+    qhat = floor(t_hi*mu/beta^{L+1}) satisfies q-2 <= qhat <= q=floor(t/p).
+    The mu-product is TRUNCATED to columns >= L-1 (the dropped low columns
+    + boundary hi-parts total < 2L*beta^L < beta^{L+1}, so the floor drops
+    by at most 1 more): q-3 <= qhat' <= q, hence r = t - qhat'*p < 4p and
+    THREE conditional subtractions restore canonical form.  The qhat*p
+    product is truncated to columns <= L (exact mod beta^{L+1}; r < 4p <
+    beta^{L+1} so the modular subtraction is exact).
+    """
     a, b = jnp.broadcast_arrays(a, b)
     t = _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L)
     t_hi = t[..., L - 1 :, :]  # (..., L+1, B)
+    # columns L-1 .. 2L+1 of t_hi*mu -> window of L+3 rows starting at L-1
     prod2 = _carry_propagate(
-        _mul_columns(t_hi, _bcast_const(mu, a, L + 1), 2 * L + 2), 2 * L + 2
+        _mul_columns(t_hi, _bcast_const(mu, a, L + 1), 2 * L + 2, col_lo=L - 1),
+        L + 3,
     )
-    qhat = prod2[..., L + 1 : 2 * L + 1, :]  # (..., L, B)
+    qhat = prod2[..., 2 : L + 2, :]  # columns L+1..2L -> (..., L, B)
     qp = _carry_propagate(
         _mul_columns(qhat, _bcast_const(p_arr, a, L), L + 1), L + 1
     )
@@ -178,7 +206,7 @@ def _barrett_mul_lm(a, b, p_arr, mu, L):
         [_bcast_const(p_arr, a, L), jnp.zeros(a.shape[:-2] + (1, a.shape[-1]), U32)],
         axis=-2,
     )
-    r = _cond_sub(_cond_sub(r, p_pad), p_pad)
+    r = _cond_sub(_cond_sub(_cond_sub(r, p_pad), p_pad), p_pad)
     return r[..., :L, :]
 
 

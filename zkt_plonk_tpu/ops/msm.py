@@ -74,6 +74,25 @@ def _suffix_scan_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp
     return jax.lax.fori_loop(0, steps, body, pts)
 
 
+def _tree_reduce_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """EC sum along ``axis`` by pairwise halving — work k-1 adds, depth
+    ceil(log2 k). Keeps the axis (size 1) removed on return."""
+    k = pts.shape[axis]
+    while k > 1:
+        half = k // 2
+        lo = jax.lax.slice_in_dim(pts, 0, half, axis=axis)
+        hi = jax.lax.slice_in_dim(pts, half, 2 * half, axis=axis)
+        merged = ec.add(spec, b3, lo, hi)
+        if k % 2:
+            odd = jax.lax.slice_in_dim(pts, k - 1, k, axis=axis)
+            merged = jnp.concatenate([merged, odd], axis=axis)
+            k = half + 1
+        else:
+            k = half
+        pts = merged
+    return jnp.squeeze(pts, axis=axis)
+
+
 def _pick_params(n: int, c: int) -> Tuple[int, int]:
     if c <= 0:
         c = 4 if n <= (1 << 12) else 6
@@ -99,6 +118,19 @@ def msm(
     n = points.shape[0]
     c, g_auto = _pick_params(n, c)
     G = groups if groups > 0 else g_auto
+    buckets = _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G)
+    totals = _reduce_buckets(fq_spec, b3, buckets)
+    return _fold_windows(fq_spec, b3, totals, c)
+
+
+def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
+    """Grouped serial bucket accumulation -> (W, G, K, 3, L).
+
+    Each of G groups owns a private bucket array; a ``fori_loop`` walks the
+    group's points adding each into its digit's bucket (disjoint scatter).
+    Digit-0 buckets accumulate junk (incl. padding) but are never weighted.
+    """
+    n = points.shape[0]
     K = 1 << c
     W = num_windows(fr_bits, c)
     L = fq_spec.n_limbs
@@ -125,26 +157,24 @@ def msm(
         upd = ec.add(fq_spec, b3, cur, p_j[None])
         return buckets.at[w_idx, g_idx, d_j].set(upd)
 
-    buckets = jax.lax.fori_loop(0, S, body, buckets0)
+    return jax.lax.fori_loop(0, S, body, buckets0)
 
-    # merge groups by halving (digit-0 buckets carry junk but are never
-    # weighted below)
-    g = G
-    while g > 1:
-        half = g // 2
-        merged = ec.add(fq_spec, b3, buckets[:, :half], buckets[:, half : 2 * half])
-        if g % 2:
-            merged = merged.at[:, 0].set(
-                ec.add(fq_spec, b3, merged[:, 0], buckets[:, g - 1])
-            )
-        buckets = merged
-        g = half
-    B = buckets[:, 0]  # (W, K, 3, L)
 
-    # Σ_{k=1}^{K-1} k·B_k = Σ_{j≥1} Σ_{k≥j} B_k : two suffix scans
+def _reduce_buckets(fq_spec, b3, buckets):
+    """(W, G, K, 3, L) group buckets -> (W, 3, L) weighted totals Σ k·B_k.
+
+    Groups merge by a pairwise tree; the weighted sum uses the telescoping
+    identity Σ_{k≥1} k·B_k = Σ_{j≥1} E_j with E_j = Σ_{k≥j} B_k — ONE
+    suffix scan then a tree reduction (the second scan of the telescoped
+    form only needs its total, not every prefix)."""
+    B = _tree_reduce_points(fq_spec, b3, buckets, axis=1)  # (W, K, 3, L)
     s1 = _suffix_scan_points(fq_spec, b3, B, axis=1)
-    s2 = _suffix_scan_points(fq_spec, b3, s1, axis=1)
-    totals = s2[:, 1]  # (W, 3, L)
+    return _tree_reduce_points(fq_spec, b3, s1[:, 1:], axis=1)  # (W, 3, L)
+
+
+def _fold_windows(fq_spec, b3, totals, c):
+    """Horner over windows: acc = 2^c acc + T_w, high window first."""
+    W = totals.shape[0]
 
     def fold(w, acc):
         acc = jax.lax.fori_loop(0, c, lambda _, a: ec.add(fq_spec, b3, a, a), acc)

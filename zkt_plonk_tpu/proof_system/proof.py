@@ -17,8 +17,11 @@ from ..curves import curve_host as ch
 from .keys import VerifierKey
 
 
-class VerificationError(Exception):
-    pass
+from ..errors import ProofVerificationError
+
+# Back-compat alias: the canonical class lives in the errors taxonomy
+# (reference ``error.rs:15-87`` role).
+VerificationError = ProofVerificationError
 
 
 @dataclass
@@ -155,7 +158,7 @@ class Proof:
             b"aw",
         )
         if not ok1:
-            raise VerificationError("proof verification failed at step 1")
+            raise VerificationError(1)
 
         wxi = xi * vk.domain_gen % p
         ok2 = pc.check_batch(
@@ -168,7 +171,7 @@ class Proof:
             b"saw",
         )
         if not ok2:
-            raise VerificationError("proof verification failed at step 2")
+            raise VerificationError(2)
 
     # ------------------------------------------------------------------
 
