@@ -46,7 +46,13 @@ def main():
     scalars = jnp.asarray(np.tile(base, (n // 4096, 1)))
     fr_bits = p.bit_length()
 
-    configs = [(6, 128), (6, 64), (6, 32), (7, 64), (7, 32), (8, 64), (8, 32), (8, 16)]
+    if len(sys.argv) > 3:
+        configs = [
+            tuple(int(v) for v in part.split(","))
+            for part in sys.argv[3].split(";")
+        ]
+    else:
+        configs = [(6, 128), (6, 64), (6, 32), (7, 64), (7, 32), (8, 64), (8, 32), (8, 16)]
     results = {}
     for c, G in configs:
         f = jax.jit(

@@ -56,12 +56,12 @@ def main():
             print(f"  setup 2^{lg}: {time.perf_counter()-t0:.1f}s")
             base = ints_to_array([rng.randrange(p) for _ in range(4096)], spec.n_limbs)
             poly = jnp.asarray(np.tile(base, (n // 4096, 1)))
-            committer = kzg.Committer(ctx, ck)
-            c0 = committer.commit(poly)
+            committer = kzg.Committer(ck)
+            c0 = committer.commit_many([poly])
             t0 = time.perf_counter()
             iters = 5
             for _ in range(iters):
-                c = committer.commit(poly)
+                c = committer.commit_many([poly])
             dt = (time.perf_counter() - t0) / iters
             print(f"MSM 2^{lg}: {dt*1e3:8.2f} ms  ({n/dt/1e6:.1f} Mpt/s)")
 

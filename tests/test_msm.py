@@ -66,6 +66,28 @@ def test_msm_matches_host(bn254, n):
         assert (int(got[0]), int(got[1])) == (int(expect[0]), int(expect[1]))
 
 
+def test_msm_totals_host_fold(bn254):
+    """Device window totals + host Horner fold == full device MSM == host."""
+    ctx = bn254
+    rng = random.Random(23)
+    spec = ctx.fq_spec
+    fr = ctx.curve.fr
+    b3 = ec.b3_const(spec, ctx.curve.b)
+    n = 40
+
+    pts = rand_points(ctx, n, rng)
+    scalars = [rng.randrange(fr.modulus) for _ in range(n)]
+    P = jnp.asarray(ec.from_affine_host(spec, pts))
+    S = jnp.asarray(ctx.fr_spec.encode(scalars))
+
+    totals = jax.jit(
+        lambda p, s: msm.msm_totals(spec, b3, p, s, fr.modulus.bit_length(), c=4)
+    )(P, S)
+    got = msm.fold_windows_host(spec, ctx.Fq, np.asarray(totals), 4)
+    expect = ch.msm(pts, scalars)
+    assert got == (int(expect[0]), int(expect[1]))
+
+
 def test_fixed_base_msm(bn254):
     ctx = bn254
     rng = random.Random(22)

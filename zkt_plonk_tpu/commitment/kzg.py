@@ -133,6 +133,14 @@ class Committer:
             return msm.msm(ck.ctx.fq_spec, b3, powers[:m], coeffs, fr_bits)
 
         self._jit_commit = jax.jit(_commit)
+
+        # device computes per-window totals; the serial Horner fold over
+        # windows runs on host (see msm.fold_windows_host)
+        def _totals(coeffs, powers, b3):
+            m = coeffs.shape[0]
+            return msm.msm_totals(ck.ctx.fq_spec, b3, powers[:m], coeffs, fr_bits)
+
+        self._jit_totals = jax.jit(_totals)
         self._host_powers = None
 
     def _use_host(self, m: int) -> bool:
@@ -168,10 +176,15 @@ class Committer:
                 acc = ch.msm(srs, scalars)
                 out.append(None if acc is None else (int(acc[0]), int(acc[1])))
             return out
-        commits = [
-            self._jit_commit(polys[i], self.ck.powers, self.ck.b3) for i in range(B)
+        totals = [
+            self._jit_totals(polys[i], self.ck.powers, self.ck.b3) for i in range(B)
         ]
-        return [commitment_to_host(self.ck, c_) for c_ in commits]
+        c = msm.msm_window_size(m)
+        Fq = self.ck.ctx.Fq
+        return [
+            msm.fold_windows_host(self.ck.ctx.fq_spec, Fq, np.asarray(t), c)
+            for t in totals
+        ]
 
 
 def commitment_to_host(ck: CommitterKey, point) -> Optional[Tuple[int, int]]:

@@ -181,23 +181,24 @@ def _barrett_mul_lm(a, b, p_arr, mu, L):
 
     Word-aligned Barrett (HAC 14.42 with beta^L words): with
     mu = floor(beta^{2L}/p) and t_hi = floor(t/beta^{L-1}), the exact
-    qhat = floor(t_hi*mu/beta^{L+1}) satisfies q-2 <= qhat <= q=floor(t/p).
-    The mu-product is TRUNCATED to columns >= L-1 (the dropped low columns
-    + boundary hi-parts total < 2L*beta^L < beta^{L+1}, so the floor drops
-    by at most 1 more): q-3 <= qhat' <= q, hence r = t - qhat'*p < 4p and
-    THREE conditional subtractions restore canonical form.  The qhat*p
-    product is truncated to columns <= L (exact mod beta^{L+1}; r < 4p <
-    beta^{L+1} so the modular subtraction is exact).
+    qhat = floor(t_hi*mu/beta^{L+1}) satisfies q-2 <= qhat <= q=floor(t/p),
+    so r = t - qhat*p < 3p and TWO conditional subtractions restore
+    canonical form.
+
+    NOTE on truncation: restricting the mu-product to columns >= L-1 (the
+    mathematically sufficient window, at the cost of one more cond-sub)
+    was MEASURED SLOWER on v5e — Mosaic pads sublane groups to 8 anyway,
+    so sliced small-row products save nothing while the irregular shapes
+    defeat op fusion (field mul 0.18 -> 0.15 G/s, MSM 2^14 185 -> 275 ms).
+    Keep the regular full-width products.
     """
     a, b = jnp.broadcast_arrays(a, b)
     t = _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L)
     t_hi = t[..., L - 1 :, :]  # (..., L+1, B)
-    # columns L-1 .. 2L+1 of t_hi*mu -> window of L+3 rows starting at L-1
     prod2 = _carry_propagate(
-        _mul_columns(t_hi, _bcast_const(mu, a, L + 1), 2 * L + 2, col_lo=L - 1),
-        L + 3,
+        _mul_columns(t_hi, _bcast_const(mu, a, L + 1), 2 * L + 2), 2 * L + 2
     )
-    qhat = prod2[..., 2 : L + 2, :]  # columns L+1..2L -> (..., L, B)
+    qhat = prod2[..., L + 1 : 2 * L + 1, :]  # (..., L, B)
     qp = _carry_propagate(
         _mul_columns(qhat, _bcast_const(p_arr, a, L), L + 1), L + 1
     )
@@ -206,7 +207,7 @@ def _barrett_mul_lm(a, b, p_arr, mu, L):
         [_bcast_const(p_arr, a, L), jnp.zeros(a.shape[:-2] + (1, a.shape[-1]), U32)],
         axis=-2,
     )
-    r = _cond_sub(_cond_sub(_cond_sub(r, p_pad), p_pad), p_pad)
+    r = _cond_sub(_cond_sub(r, p_pad), p_pad)
     return r[..., :L, :]
 
 

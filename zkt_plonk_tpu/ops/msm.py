@@ -96,8 +96,10 @@ def _tree_reduce_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp
 def _pick_params(n: int, c: int) -> Tuple[int, int]:
     if c <= 0:
         c = 4 if n <= (1 << 12) else 6
-    groups = min(256, max(8, n // 128))
-    # keep the bucket tensor bounded (~256 MB for the largest configs)
+    # v5e sweep (scripts/bench_msm_sweep.py, n=2^14): total time plateaus
+    # at G in [16, 32] (c 5..6); larger G inflates the bucket tensor whose
+    # per-iteration gather/scatter dominates, smaller G over-serializes.
+    groups = min(64, max(8, n // 512))
     return c, groups
 
 
@@ -121,6 +123,50 @@ def msm(
     buckets = _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G)
     totals = _reduce_buckets(fq_spec, b3, buckets)
     return _fold_windows(fq_spec, b3, totals, c)
+
+
+def msm_totals(
+    fq_spec: FieldSpec,
+    b3: jnp.ndarray,
+    points: jnp.ndarray,
+    scalars: jnp.ndarray,
+    fr_bits: int,
+    c: int = 0,
+    groups: int = 0,
+) -> jnp.ndarray:
+    """Device part of the MSM up to the per-window totals (W, 3, L).
+
+    The final Horner fold over windows (c doublings + 1 add per window,
+    ~300 SERIAL single-point ops — measured ~23 ms of pure dispatch floor
+    on v5e) is left to ``fold_windows_host``: W points is tiny data and
+    the host does the chain in ~1 ms of bigint math.
+    """
+    n = points.shape[0]
+    c, g_auto = _pick_params(n, c)
+    G = groups if groups > 0 else g_auto
+    buckets = _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G)
+    return _reduce_buckets(fq_spec, b3, buckets)
+
+
+def msm_window_size(n: int, c: int = 0) -> int:
+    return _pick_params(n, c)[0]
+
+
+def fold_windows_host(fq_spec: FieldSpec, Fq, totals_np, c: int):
+    """Host Horner over window totals: acc = 2^c*acc + T_w, high first.
+
+    totals_np: (W, 3, L) numpy projective points. Returns an affine
+    ``(int, int)`` tuple or None.
+    """
+    from ..curves import host as ch
+
+    pts = ec.to_affine_host(fq_spec, totals_np)
+    acc = None
+    for t in reversed(pts):
+        for _ in range(c):
+            acc = ch.double(acc)
+        acc = ch.add(acc, None if t is None else (Fq(t[0]), Fq(t[1])))
+    return None if acc is None else (int(acc[0]), int(acc[1]))
 
 
 def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
