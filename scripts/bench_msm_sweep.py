@@ -38,7 +38,28 @@ def main():
     p = ctx.curve.fr.modulus
     rng = random.Random(0)
     t0 = time.perf_counter()
-    ck, _ = kzg.setup(ctx, max_degree=n, tau=987654321)
+    if os.environ.get("MSM_SWEEP_FAKE_SRS", "1") == "1":
+        # timing only: EC ops are data-independent, so tiled host points
+        # are as good as a real SRS and skip its cold-compile cost
+        from zkt_plonk_tpu.curves import host as ch_host
+        from zkt_plonk_tpu.ops import ec as ec_mod
+        import jax.numpy as _jnp
+
+        base_pts = [
+            ch_host.scalar_mul(ctx.g1, rng.randrange(1, p)) for _ in range(64)
+        ]
+        arr = ec_mod.from_affine_host(ctx.fq_spec, base_pts)
+        powers = _jnp.asarray(np.tile(arr, (n // 64 + 1, 1, 1))[: n + 1])
+        from zkt_plonk_tpu.ops import ec as _ec
+
+        class CK:
+            pass
+
+        ck = CK()
+        ck.powers = powers
+        ck.b3 = _ec.b3_const(ctx.fq_spec, ctx.curve.b)
+    else:
+        ck, _ = kzg.setup(ctx, max_degree=n, tau=987654321)
     sync(ck.powers)
     print(f"setup: {time.perf_counter()-t0:.1f}s", flush=True)
 

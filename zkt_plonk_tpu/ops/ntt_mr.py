@@ -44,6 +44,29 @@ U32 = jnp.uint32
 MB = 128  # lane block per kernel grid step
 FULL_TABLE_MAX = 1 << 16  # build O(n) tables when F*M is at most this
 
+# Pallas TPU requires lane blocks of 128 (or the array's full lane dim),
+# so VMEM pressure is managed on the SUBLANE side instead: the stacked
+# Barrett multiplies inside a kernel are chunked to at most MUL_CHUNK_ROWS
+# rows per call (peak live set ~ rows * (2L+2) * 128 lanes * ~6 buffers).
+MUL_CHUNK_ROWS = 64
+
+
+def _mb_for(F: int, L: int, Mtot: int) -> int:
+    """Lane block: 128, or the whole (smaller) lane dimension."""
+    return min(MB, Mtot)
+
+
+def _mul_row_chunked(mul, a, b):
+    """Apply ``mul`` in row chunks so Barrett intermediates stay small."""
+    rows = a.shape[0]
+    if rows <= MUL_CHUNK_ROWS:
+        return mul(a, b)
+    outs = [
+        mul(a[i : i + MUL_CHUNK_ROWS], b[i : i + MUL_CHUNK_ROWS])
+        for i in range(0, rows, MUL_CHUNK_ROWS)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
 
 def factorize(log_n: int) -> Tuple[int, ...]:
     """Split log2(n) into D factors, each <= 8; F1 = 8 so P_d >= 256 >= MB
@@ -384,7 +407,7 @@ def _butterflies(x, tws, L, p_arr, mu):
             # concat-doubling on lanes, then row tiling (period H repeats)
             tw = _rep_concat(tws[H : 2 * H], -1, lanes)
             tw = _rep_concat(tw, 0, G * H)
-            m = mul(tw, v)
+            m = _mul_row_chunked(mul, tw, v)
         hi = add(u, m).reshape(G, 1, H, L, lanes)
         lo = sub(u, m).reshape(G, 1, H, L, lanes)
         x = jnp.concatenate([hi, lo], axis=1).reshape(F, L, lanes)
@@ -406,7 +429,7 @@ def _col_pass_pallas(x, stage_tws, L, p_arr, mu, interpret=False):
     non-sliced mul operand.
     """
     F, _, Mtot = x.shape
-    mb = min(MB, Mtot)
+    mb = _mb_for(F, L, Mtot)
     grid = Mtot // mb
 
     def kernel(p_ref, mu_ref, tw_ref, x_ref, o_ref):
@@ -433,13 +456,24 @@ def _mul3d(x, tbl, L, p_arr, mu, use_kernel, interpret=False):
     if not use_kernel:
         return fp._barrett_mul_lm(x, tbl, p_arr, mu, L)
     F, _, Mtot = x.shape
-    mb = min(MB, Mtot)
+    mb = _mb_for(F, L, Mtot)
     grid = Mtot // mb
 
     def kernel(p_ref, mu_ref, x_ref, t_ref, o_ref):
-        o_ref[...] = fp._barrett_mul_lm(
-            x_ref[...], t_ref[...], p_ref[...], mu_ref[...], L
-        )
+        mul = lambda a, b: fp._barrett_mul_lm(a, b, p_ref[...], mu_ref[...], L)
+        t = t_ref[...]
+        x_full = x_ref[...]
+        if t.shape[0] == x_full.shape[0]:
+            o_ref[...] = _mul_row_chunked(mul, x_full, t)
+        else:  # row-independent table (rows=1): broadcast over row chunks
+            rows = x_full.shape[0]
+            if rows <= MUL_CHUNK_ROWS:
+                o_ref[...] = mul(x_full, t)
+            else:
+                for i in range(0, rows, MUL_CHUNK_ROWS):
+                    o_ref[i : i + MUL_CHUNK_ROWS] = mul(
+                        x_full[i : i + MUL_CHUNK_ROWS], t
+                    )
 
     rows = tbl.shape[0]  # F, or 1 (row-independent: leading broadcast)
     p_spec = pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
