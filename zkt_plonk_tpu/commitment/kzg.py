@@ -161,9 +161,15 @@ class Committer:
 
     def commit_many(self, polys) -> list:
         """polys: (B, m, L) device array or list of (m, L). Returns a list
-        of host affine points."""
+        of host affine points.  All polys must share one length: the host
+        window fold below uses a single window size c derived from it, and
+        a mixed-length batch straddling a c boundary would silently fold
+        with the wrong c."""
         B = len(polys)
         m = polys[0].shape[0]
+        assert all(polys[i].shape[0] == m for i in range(B)), (
+            "commit_many requires uniform-length polynomials"
+        )
         if self._use_host(m):
             from ..curves import curve_host as ch
 

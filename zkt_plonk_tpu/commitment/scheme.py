@@ -40,16 +40,20 @@ class KZGScheme:
         return ck.max_degree
 
     def open_batch(self, prover, polys, point: int, values, eta: int, label: bytes):
-        """Device path: eta-fold + synthetic division + commit (one MSM)."""
-        from ..proof_system.prover import _inv_powers_arr, _powers_arr
+        """Device path: eta-fold + synthetic division + commit (one MSM).
+
+        Only the eta powers (one per opened poly, <= 9) are host bigints;
+        the O(n) point-power tables build on device inside the jit.
+        """
+        from ..proof_system.prover import _enc_vec, _powers_arr
 
         spec = prover.spec
-        n_coeff = polys.shape[1]
+        pt_inv = pow(point, -1, prover.p)
         w = prover._open_batch(
             polys,
             _powers_arr(spec, eta, polys.shape[0], prover.p),
-            _powers_arr(spec, point, n_coeff, prover.p),
-            _inv_powers_arr(spec, point, n_coeff, prover.p),
+            _enc_vec(spec, [point])[0],
+            _enc_vec(spec, [pt_inv])[0],
         )
         return prover.committer.commit_many(w[None])[0]
 

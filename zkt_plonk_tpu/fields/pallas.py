@@ -113,20 +113,17 @@ def _sub_with_borrow(a, b):
     return diff, gg[..., n - 1, :]
 
 
-def _mul_columns(a, b, ncols, col_lo=0):
-    """Column sums of a*b restricted to columns [col_lo, ncols).
+def _mul_columns(a, b, ncols):
+    """Column sums of a*b over columns [0, ncols).
 
-    a (..., La, B), b (..., Lb, B) -> (..., ncols-col_lo, B); output row r
-    is column ``col_lo + r``.  Per source limb i only the b-slice whose
-    products land in the column window is multiplied — the truncation that
-    makes the Barrett mu/qp products ~40% cheaper.  Columns below col_lo
-    (and hi-parts crossing into col_lo from below) are DROPPED, so a
-    col_lo-truncated product UNDERestimates the exact value by
-    < 2*La*beta^(col_lo+1) — callers must absorb that in their floor-error
-    budget (see ``_barrett_mul_lm``).
+    a (..., La, B), b (..., Lb, B) -> (..., ncols, B); output row r is
+    column r of the schoolbook product.  Full-width products are kept
+    deliberately: truncating the Barrett mu/qp products to their
+    mathematically sufficient column windows was MEASURED SLOWER on v5e
+    (irregular sliced shapes defeat Mosaic fusion — see ``_barrett_mul_lm``).
     """
     La, Lb = a.shape[-2], b.shape[-2]
-    R = ncols - col_lo
+    R = ncols
 
     def place(x, off):
         """Place x rows at output rows [off, off+k), clipped to [0, R)."""
@@ -148,13 +145,12 @@ def _mul_columns(a, b, ncols, col_lo=0):
 
     acc = None
     for i in range(La):
-        j_lo = max(0, col_lo - i)
         j_hi = min(Lb, ncols - i)
-        if j_lo >= j_hi:
+        if j_hi <= 0:
             continue
-        prod = a[..., i : i + 1, :] * b[..., j_lo:j_hi, :]
-        lo = place(prod & MASK, i + j_lo - col_lo)
-        hi = place(prod >> LIMB_BITS, i + j_lo - col_lo + 1)
+        prod = a[..., i : i + 1, :] * b[..., :j_hi, :]
+        lo = place(prod & MASK, i)
+        hi = place(prod >> LIMB_BITS, i + 1)
         for part in (lo, hi):
             if part is not None:
                 acc = part if acc is None else acc + part

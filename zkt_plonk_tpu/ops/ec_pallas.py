@@ -114,24 +114,6 @@ def eligible(p, q) -> bool:
     return n >= MIN_POINTS
 
 
-def add_cm(spec: FieldSpec, b3, a_cm, b_cm, *, interpret: bool = False):
-    """Complete projective add on coordinate-major ``(3, L, N)`` operands.
-
-    The layout-native entry point: callers that keep their point state
-    limb-major (e.g. the MSM bucket loop) skip the element-major
-    transposes of ``add``.  N is padded to a BLOCK multiple internally.
-    """
-    L = spec.n_limbs
-    n = a_cm.shape[-1]
-    pad = (-n) % BLOCK
-    if pad:
-        a_cm = jnp.pad(a_cm, ((0, 0), (0, 0), (0, pad)))
-        b_cm = jnp.pad(b_cm, ((0, 0), (0, 0), (0, pad)))
-    p_arr, mu, b3c = _consts(spec, b3)
-    out = _add_call(spec, interpret)(p_arr, mu, b3c, a_cm, b_cm)
-    return out[..., :n] if pad else out
-
-
 def add(spec: FieldSpec, b3, p, q, *, interpret: bool = False):
     """Complete projective add via the fused kernel.
 

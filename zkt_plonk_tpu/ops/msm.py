@@ -194,7 +194,9 @@ def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
 
     w_idx = jnp.arange(W)[:, None]  # (W, 1)
     g_idx = jnp.arange(G)[None, :]  # (1, G)
-    buckets0 = ec.identity(fq_spec, (W, G, K))
+    # ``+ 0*points`` keeps the value but derives the fori carry's
+    # sharding/varying-manual-axes type from the inputs (shard_map safe)
+    buckets0 = ec.identity(fq_spec, (W, G, K)) + jnp.zeros_like(points[0])
 
     def body(j, buckets):
         p_j = pts_steps[j]  # (G, 3, L)
@@ -226,7 +228,8 @@ def _fold_windows(fq_spec, b3, totals, c):
         acc = jax.lax.fori_loop(0, c, lambda _, a: ec.add(fq_spec, b3, a, a), acc)
         return ec.add(fq_spec, b3, acc, totals[W - 1 - w])
 
-    return jax.lax.fori_loop(0, W, fold, ec.identity(fq_spec))
+    init = ec.identity(fq_spec) + jnp.zeros_like(totals[0])
+    return jax.lax.fori_loop(0, W, fold, init)
 
 
 # ---------------------------------------------------------------------------

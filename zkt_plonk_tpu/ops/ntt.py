@@ -141,6 +141,53 @@ def coset_ifft(spec: FieldSpec, plan: NttPlan, evals: jnp.ndarray) -> jnp.ndarra
     return fd.mul(spec, ifft(spec, plan, evals), plan.coset_ipow)
 
 
+class Coset4Plan(NamedTuple):
+    """Tables for the interleaved 4n-coset transform (``Domain.quarter_plan``)."""
+
+    pow4: jnp.ndarray  # (4, n, L) — (g*w4n^j)^i
+    ipow4: jnp.ndarray  # (4, n, L) — (g*w4n^j)^-i
+    gn4: jnp.ndarray  # (4, L) — (g*w4n^j)^n (tail-fold scalars)
+    mix: jnp.ndarray  # (4, 4, L) — M[t][j] = i4^(-jt) * g^(-tn) / 4
+
+
+def coset4_fft(spec: FieldSpec, plan: NttPlan, q4: Coset4Plan, coeffs: jnp.ndarray):
+    """Evals of P (up to n+4 coefficients) on the 4n coset, INTERLEAVED.
+
+    Returns (..., 4, n, L) with out[..., j, k, :] = P(g * w4n^j * w_n^k)
+    — global 4n-coset index i = 4k + j.  Equivalent to zero-padding to 4n
+    and running a 4n coset FFT (``quotient_poly.rs:52-96``), but as 4
+    batched n-size NTTs: P(g_j w_n^k) = NTT_n(h_j)[k] with
+    h_j[i] = g_j^i * (c_i + g_j^n * c_{i+n}).
+    """
+    n = q4.pow4.shape[1]
+    head = coeffs[..., :n, :]
+    ntail = coeffs.shape[-2] - n
+    assert 0 <= ntail <= 4, "coset4_fft supports at most n+4 coefficients"
+    head4 = jnp.broadcast_to(
+        head[..., None, :, :], (*head.shape[:-2], 4, n, head.shape[-1])
+    )
+    if ntail:
+        tail = coeffs[..., n:, :]  # (..., ntail, L)
+        t4 = fd.mul(spec, q4.gn4[:, None, :], tail[..., None, :, :])
+        folded = fd.add(spec, head4[..., :ntail, :], t4)
+        head4 = jnp.concatenate([folded, head4[..., ntail:, :]], axis=-2)
+    h = fd.mul(spec, head4, q4.pow4)
+    return fft(spec, plan, h)
+
+
+def coset4_ifft(spec: FieldSpec, plan: NttPlan, q4: Coset4Plan, evals: jnp.ndarray):
+    """Interleaved 4n-coset evals (..., 4, n, L) -> coefficient ROWS
+    (..., 4, n, L): row t holds q[t*n : (t+1)*n] of the 4n-coefficient
+    polynomial.  Inverse of ``coset4_fft``: per-subdomain iNTT + unscale,
+    then a 4-point inverse DFT across subdomains (16 scalar muls/element).
+    """
+    u = ifft(spec, plan, evals)
+    v = fd.mul(spec, u, q4.ipow4)  # (..., 4j, n, L)
+    terms = fd.mul(spec, v[..., None, :, :, :], q4.mix[:, :, None, :])
+    t0, t1, t2, t3 = (terms[..., j, :, :] for j in range(4))
+    return fd.add(spec, fd.add(spec, t0, t1), fd.add(spec, t2, t3))
+
+
 def evaluate_poly(spec: FieldSpec, coeffs: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
     """Evaluate polynomial(s) at a single point via Horner (device).
 

@@ -1,0 +1,447 @@
+"""Multi-chip prover core: rounds 1-4 under ONE shard_map program.
+
+Domain sharding (the workload's "sequence parallelism", SURVEY.md §5):
+every polynomial/point array is split in contiguous blocks of the n axis
+over a 1-D ``poly`` mesh axis; NTT stage exchanges, grand-product scans,
+rolls and MSM reductions are explicit collectives from ``parallel.ops``.
+Because the program is a shard_map (not GSPMD auto-partitioning), XLA
+compiles a per-device program of shard size — compile cost tracks n/D,
+not a partitioning search over the limb graphs (the r2 dryrun's 4m52s
+GSPMD compile is replaced by this).
+
+The round formulas mirror ``proof_system/prover.py`` (z_round /
+quotient_round / fused_core) exactly — bit-parity is enforced by
+``tests/test_multichip.py::test_sharded_fused_core_parity``.
+
+Committed polynomials are carried as (body, tail) pairs: the n-coefficient
+body is sharded, the 4-coefficient blinding tail is replicated (wraparound
+blinding adds b(X)*(X^n - 1): +b at rows n..n+3, -b at rows 0..3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields import device as fd
+from ..ops import msm as msm_mod
+from ..ops import ntt
+from . import ops as pops
+
+AXIS = "poly"
+
+
+def _bcast0(x, axis_name):
+    """Replicate device 0's value of a (tiny) shard-local array."""
+    return lax.all_gather(x, axis_name)[0]
+
+
+def _patch_rows(x, values, rows, on_device, axis_name):
+    """Set local rows ``rows`` (slice) to ``values`` on one device only."""
+    d = lax.axis_index(axis_name)
+    return jnp.where(d == on_device, x.at[rows].set(values), x)
+
+
+def _pifft_body_tail(spec, st, evals, blinders, axis_name):
+    """Sharded ifft + wraparound blinding -> (body shard, replicated tail).
+
+    evals: (B, m, L) shard; blinders: (B, 4, L) replicated.
+    Mirrors ``prover.commit_batch``/``blind``.
+    """
+    coeffs = pops.pifft(spec, st, evals, axis_name)  # (B, m, L)
+    head = fd.sub(spec, coeffs[:, :4, :], blinders)
+    coeffs = _patch_rows(coeffs, head, (slice(None), slice(0, 4)), 0, axis_name)
+    return coeffs, blinders
+
+
+def sharded_fused_core(
+    spec,
+    fq_spec,
+    fr_bits: int,
+    n: int,
+    msm_c: int,
+    st: pops.ShardNttTables,
+    q4: ntt.Coset4Plan,
+    tables: Dict,
+    powers_body,  # (n, 3, L) shard of SRS powers[:n]
+    powers_tail,  # (4, 3, L) replicated powers[n:n+4]
+    b3,
+    wires,  # (3, m, L) shard
+    f,
+    t_evals,
+    h1,
+    h2,
+    pi_evals,
+    z_scalars,
+    q_scalars,
+    q_weights,
+    blinders_abc,
+    blinders_th,
+    blinders_z,
+    qblinders,
+    axis_name: str = AXIS,
+):
+    """Rounds 1-4 device work, sharded.  Returns (window totals (11, W, 3, L)
+    replicated, q body shards (3, m, L), q tails (3, 4, L))."""
+    one = fd.one(spec)
+    m = wires.shape[1]
+
+    # --- round 1+2: wire & lookup polys (sharded ifft + blinding) -------
+    abc_body, abc_tail = _pifft_body_tail(spec, st, wires, blinders_abc, axis_name)
+    th_evals = jnp.stack([t_evals, h1, h2])
+    th_body, th_tail = _pifft_body_tail(spec, st, th_evals, blinders_th, axis_name)
+
+    # --- round 3: grand products (mirrors prover.z_round) ---------------
+    a, b, c = wires[0], wires[1], wires[2]
+    roots = tables["roots"]
+    s1, s2, s3 = (tables["sigma"][i] for i in range(3))
+    beta, bk1, bk2, gamma, delta, eps_1pd, one_pd, epsilon = (
+        z_scalars[i] for i in range(8)
+    )
+    t_next = pops.proll(t_evals, -1, axis_name, axis=0)
+    h1_next = pops.proll(h1, -1, axis_name, axis=0)
+
+    sh = roots.shape[:-1]
+    _bc = lambda s: jnp.broadcast_to(s, (*sh, spec.n_limbs))
+    lhs1 = jnp.stack([roots, roots, roots, s1, s2, s3, t_next, h2, h1_next])
+    rhs1 = jnp.stack(
+        [_bc(s) for s in (beta, bk1, bk2, beta, beta, beta, delta, delta, delta)]
+    )
+    p1 = fd.mul(spec, lhs1, rhs1)
+    bx, bx1, bx2, bs1, bs2, bs3, dtn, dh2, dh1n = (p1[i] for i in range(9))
+
+    ad = lambda x, y: fd.add(spec, x, y)
+    num1 = ad(ad(bx, a), gamma)
+    num2 = ad(ad(bx1, b), gamma)
+    num3 = ad(ad(bx2, c), gamma)
+    den1 = ad(ad(bs1, a), gamma)
+    den2 = ad(ad(bs2, b), gamma)
+    den3 = ad(ad(bs3, c), gamma)
+    t2f = ad(ad(dtn, eps_1pd), t_evals)
+    epf = ad(_bc(epsilon), f)
+    zd1 = ad(ad(dh2, eps_1pd), h1)
+    zd2 = ad(ad(dh1n, eps_1pd), h2)
+
+    p2 = fd.mul(
+        spec,
+        jnp.stack([num1, den1, epf, zd1]),
+        jnp.stack([num2, den2, t2f, zd2]),
+    )
+    p3 = fd.mul(
+        spec,
+        jnp.stack([p2[0], p2[1], p2[2]]),
+        jnp.stack([num3, den3, _bc(one_pd)]),
+    )
+    z1_num, z1_den, z2_num = p3[0], p3[1], p3[2]
+    z2_den = p2[3]
+
+    dens = jnp.stack([z1_den, z2_den])  # (2, m, L)
+    dens_inv = pops.pbatch_inverse(spec, dens, axis=1, axis_name=axis_name)
+    ratios = fd.mul(spec, jnp.stack([z1_num, z2_num]), dens_inv)
+    shifted = pops.proll(ratios, 1, axis_name, axis=1)
+    shifted = _patch_rows(
+        shifted,
+        jnp.broadcast_to(one, (2, 1, spec.n_limbs)),
+        (slice(None), slice(0, 1)),
+        0,
+        axis_name,
+    )
+    z_evals = pops.pprefix_products(spec, shifted, axis=1, axis_name=axis_name)
+    z_body, z_tail = _pifft_body_tail(spec, st, z_evals, blinders_z, axis_name)
+
+    # --- round 4: quotient (mirrors prover.quotient_round) --------------
+    c4 = tables["coset"]
+    pi_body = pops.pifft(spec, st, pi_evals, axis_name)  # (m, L)
+    nine_body = jnp.concatenate(
+        [abc_body, z_body, th_body, pi_body[None]]
+    )  # (9, m, L) [a,b,c,z1,z2,t,h1,h2,pi]
+    nine_tail = jnp.concatenate(
+        [abc_tail, z_tail, th_tail, jnp.zeros_like(abc_tail[:1])]
+    )  # (9, 4, L) replicated
+
+    # coset4_fft with the tail fold applied on device 0 (global rows 0..3)
+    head4 = jnp.broadcast_to(
+        nine_body[:, None, :, :], (9, 4, m, spec.n_limbs)
+    )
+    t4 = fd.mul(spec, q4.gn4[:, None, :], nine_tail[:, None, :, :])  # (9,4,4,L)
+    folded = fd.add(spec, head4[:, :, :4, :], t4)
+    head4 = _patch_rows(
+        head4, folded, (slice(None), slice(None), slice(0, 4)), 0, axis_name
+    )
+    h = fd.mul(spec, head4, tables["pow4"])
+    cs = pops.pfft(spec, st, h, axis_name)  # (9, 4, m, L)
+
+    a4, b4, cc4, z1, z2, t4e, h14, h24, pi4 = (cs[i] for i in range(9))
+    z1n = pops.proll(z1, -1, axis_name, axis=-2)
+    z2n = pops.proll(z2, -1, axis_name, axis=-2)
+    tn = pops.proll(t4e, -1, axis_name, axis=-2)
+    h1n = pops.proll(h14, -1, axis_name, axis=-2)
+
+    sb = lambda x, y: fd.sub(spec, x, y)
+    beta, bk1, bk2, gamma, delta, epsilon, eps_1pd = (q_scalars[i] for i in range(7))
+    sh4 = a4.shape[:-1]
+    bc4 = lambda s: jnp.broadcast_to(s, (*sh4, spec.n_limbs))
+
+    lhs1 = jnp.stack(
+        [a4, tables["x_coset"], tables["x_coset"], tables["x_coset"],
+         c4["sigma1"], c4["sigma2"], c4["sigma3"],
+         c4["q_lookup"], tn, h24, h1n]
+    )
+    rhs1 = jnp.stack(
+        [b4, bc4(beta), bc4(bk1), bc4(bk2),
+         bc4(beta), bc4(beta), bc4(beta), cc4, bc4(delta), bc4(delta), bc4(delta)]
+    )
+    p1 = fd.mul(spec, lhs1, rhs1)
+    ab, bx, bx1, bx2, bs1, bs2, bs3, qlc, dtn, dh2, dh1n = (p1[i] for i in range(11))
+
+    lhs2 = jnp.stack(
+        [ab, a4, b4, cc4,
+         ad(ad(bx, a4), gamma), ad(ad(bs1, a4), gamma),
+         ad(ad(eps_1pd, t4e), dtn), ad(ad(eps_1pd, h14), dh2),
+         c4["q_table"], sb(z1, one), sb(z2, one)]
+    )
+    rhs2 = jnp.stack(
+        [c4["q_m"], c4["q_l"], c4["q_r"], c4["q_o"],
+         ad(ad(bx1, b4), gamma), ad(ad(bs2, b4), gamma),
+         ad(bc4(epsilon), qlc), ad(ad(eps_1pd, h24), dh1n),
+         t4e, tables["l1"], tables["l1"]]
+    )
+    p2 = fd.mul(spec, lhs2, rhs2)
+    abqm, aql, bqr, cqo, p1a, p2a, tq, hh, qtt, l1z1, l1z2 = (
+        p2[i] for i in range(11)
+    )
+
+    p3 = fd.mul(
+        spec,
+        jnp.stack([p1a, p2a]),
+        jnp.stack([ad(ad(bx2, cc4), gamma), ad(ad(bs3, cc4), gamma)]),
+    )
+    p4 = fd.mul(
+        spec,
+        jnp.stack([z1, z1n, z2, z2n]),
+        jnp.stack([p3[0], p3[1], tq, hh]),
+    )
+    p5 = fd.mul(
+        spec,
+        jnp.stack([p4[0], p4[1], p4[2], p4[3], l1z1, l1z2, qtt]),
+        q_weights[:, None, None, :],
+    )
+
+    arith = ad(ad(ad(abqm, aql), ad(bqr, cqo)), ad(c4["q_c"], pi4))
+    perm = ad(sb(p5[0], p5[1]), p5[4])
+    lookup = ad(ad(sb(p5[2], p5[3]), p5[5]), p5[6])
+
+    q_evals = fd.mul(
+        spec, ad(ad(arith, perm), lookup), tables["zh_inv"][:, None, :]
+    )
+
+    # interleaved coset ifft (mirrors ntt.coset4_ifft, sharded)
+    u = pops.pifft(spec, st, q_evals, axis_name)
+    v = fd.mul(spec, u, tables["ipow4"])
+    terms = fd.mul(spec, v[None, :, :, :], q4.mix[:, :, None, :])
+    qrows = fd.add(
+        spec, fd.add(spec, terms[:, 0], terms[:, 1]), fd.add(spec, terms[:, 2], terms[:, 3])
+    )  # (4, m, L): row t = shard of q[tn:(t+1)n]
+    q0, q1, q2, q3 = (qrows[i] for i in range(4))
+
+    # --- quotient splits (bodies sharded, tails replicated) -------------
+    b0, b1 = qblinders[0], qblinders[1]
+    zrow = jnp.zeros_like(b0)[None]
+    q1_first4 = _bcast0(q1[:4], axis_name)  # (4, L) global q[n:n+4]
+    q2_first4 = _bcast0(q2[:4], axis_name)
+    q3_first8 = _bcast0(q3[:8], axis_name)
+
+    lo_body = q0
+    lo_tail = jnp.concatenate([q1_first4[:2], b0[None], zrow])
+
+    mid_body = pops.proll(q1, -2, axis_name, axis=0)
+    mid_body = _patch_rows(
+        mid_body, q2_first4[:2], slice(m - 2, m), lax.axis_size(axis_name) - 1,
+        axis_name,
+    )
+    mid0 = fd.sub(spec, mid_body[0], b0)
+    mid_body = _patch_rows(mid_body, mid0[None], slice(0, 1), 0, axis_name)
+    mid_tail = jnp.concatenate([q2_first4[2:4], b1[None], zrow])
+
+    hi_body = pops.proll(q2, -4, axis_name, axis=0)
+    hi_body = _patch_rows(
+        hi_body, q3_first8[:4], slice(m - 4, m), lax.axis_size(axis_name) - 1,
+        axis_name,
+    )
+    hi0 = fd.sub(spec, hi_body[0], b1)
+    hi_body = _patch_rows(hi_body, hi0[None], slice(0, 1), 0, axis_name)
+    hi_tail = q3_first8[4:8]
+
+    q_body = jnp.stack([lo_body, mid_body, hi_body])  # (3, m, L)
+    q_tail = jnp.stack([lo_tail, mid_tail, hi_tail])  # (3, 4, L)
+
+    # --- MSM commits: sharded bucket accumulation + collective reduce ---
+    all_bodies = jnp.concatenate([abc_body, th_body, z_body, q_body])  # (11, m, L)
+    all_tails = jnp.concatenate([abc_tail, th_tail, z_tail, q_tail])  # (11, 4, L)
+
+    def one_commit(args):
+        body, tail = args
+        return pops.pcommit_totals(
+            fq_spec, b3, powers_body, powers_tail, body, tail, fr_bits,
+            c=msm_c, axis_name=axis_name,
+        )
+
+    totals = jax.lax.map(one_commit, (all_bodies, all_tails))  # (11, W, 3, L)
+    return totals, q_body, q_tail
+
+
+class ShardedProverCore:
+    """Builds the jitted shard_map program + shardings for a Prover."""
+
+    def __init__(self, prover, mesh: Mesh, axis_name: str = AXIS):
+        from ..ops.msm import msm_window_size
+
+        self.prover = prover
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.D = mesh.devices.size
+        n = prover.n
+        assert n % self.D == 0, "circuit size must divide the mesh"
+        self.st_host = pops.build_shard_ntt_tables(prover.domain, self.D)
+        self.msm_c = msm_window_size(n + 4)
+        self._build()
+
+    def _build(self):
+        prover = self.prover
+        spec = prover.spec
+        fq_spec = prover.ctx.fq_spec
+        fr_bits = prover.ctx.curve.fr.modulus.bit_length()
+        n = prover.n
+        axis = self.axis_name
+        msm_c = self.msm_c
+
+        sh = lambda *spec_: P(*spec_)
+        rep = P()
+        st_specs = pops.shard_ntt_specs(axis)
+        tables_specs = {
+            "coset": {k: sh(None, axis, None) for k in prover._tables["coset"]},
+            "x_coset": sh(None, axis, None),
+            "zh_inv": rep,
+            "l1": sh(None, axis, None),
+            "sigma": sh(None, axis, None),
+            "roots": sh(axis, None),
+            "pow4": sh(None, axis, None),
+            "ipow4": sh(None, axis, None),
+        }
+        q4_specs = ntt.Coset4Plan(pow4=rep, ipow4=rep, gn4=rep, mix=rep)
+
+        def core(st, q4, tables, powers_body, powers_tail, b3,
+                 wires, f, t_evals, h1, h2, pi_evals, z_scalars, q_scalars,
+                 q_weights, blinders_abc, blinders_th, blinders_z, qblinders):
+            return sharded_fused_core(
+                spec, fq_spec, fr_bits, n, msm_c, st, q4, tables,
+                powers_body, powers_tail, b3, wires, f, t_evals, h1, h2,
+                pi_evals, z_scalars, q_scalars, q_weights,
+                blinders_abc, blinders_th, blinders_z, qblinders,
+                axis_name=axis,
+            )
+
+        in_specs = (
+            st_specs,
+            q4_specs,
+            tables_specs,
+            sh(axis, None, None),  # powers body
+            rep,  # powers tail
+            rep,  # b3
+            sh(None, axis, None),  # wires
+            sh(axis, None),  # f
+            sh(axis, None),  # t_evals
+            sh(axis, None),  # h1
+            sh(axis, None),  # h2
+            sh(axis, None),  # pi_evals
+            rep, rep, rep, rep, rep, rep, rep,
+        )
+        out_specs = (rep, sh(None, axis, None), rep)
+        # check_vma=False: the replicated (P()) outputs — MSM window totals
+        # and quotient tails — are replicated by construction (all_gather +
+        # identical local math), which the static varying-manual-axes
+        # inference cannot prove.
+        self._core = jax.jit(
+            jax.shard_map(
+                core, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+
+    # -- argument staging ------------------------------------------------
+
+    def device_args(self):
+        """device_put the prover's static tables with their shardings.
+
+        The Coset4Plan's big (4, n, L) power tables are passed separately
+        inside ``tables`` (sharded); the replicated plan carries only the
+        tiny gn4/mix leaves (pow4/ipow4 entries are replaced by dummies).
+        """
+        prover = self.prover
+        mesh, axis = self.mesh, self.axis_name
+        ns = lambda *s: NamedSharding(mesh, P(*s))
+        rep = NamedSharding(mesh, P())
+
+        st = self.st_host
+        st_dev = pops.ShardNttTables(
+            rev_d=jax.device_put(jnp.asarray(st.rev_d), rep),
+            rev_m=jax.device_put(jnp.asarray(st.rev_m), rep),
+            tw_local=jax.device_put(jnp.asarray(st.tw_local), rep),
+            tw_inv_local=jax.device_put(jnp.asarray(st.tw_inv_local), rep),
+            tw_global=jax.device_put(jnp.asarray(st.tw_global), rep),
+            tw_inv_global=jax.device_put(jnp.asarray(st.tw_inv_global), rep),
+            n_inv=jax.device_put(jnp.asarray(st.n_inv), rep),
+            coset_pow=jax.device_put(jnp.asarray(st.coset_pow), ns(axis, None)),
+            coset_ipow=jax.device_put(jnp.asarray(st.coset_ipow), ns(axis, None)),
+        )
+        q4_host = prover.domain.quarter_plan()
+        q4_dev = ntt.Coset4Plan(
+            pow4=jax.device_put(jnp.zeros((1, 1), jnp.uint32), rep),
+            ipow4=jax.device_put(jnp.zeros((1, 1), jnp.uint32), rep),
+            gn4=jax.device_put(jnp.asarray(q4_host.gn4), rep),
+            mix=jax.device_put(jnp.asarray(q4_host.mix), rep),
+        )
+        t = prover._tables
+        tables_dev = {
+            "coset": {
+                k: jax.device_put(v, ns(None, axis, None))
+                for k, v in t["coset"].items()
+            },
+            "x_coset": jax.device_put(t["x_coset"], ns(None, axis, None)),
+            "zh_inv": jax.device_put(t["zh_inv"], rep),
+            "l1": jax.device_put(t["l1"], ns(None, axis, None)),
+            "sigma": jax.device_put(t["sigma"], ns(None, axis, None)),
+            "roots": jax.device_put(t["roots"], ns(axis, None)),
+            "pow4": jax.device_put(jnp.asarray(q4_host.pow4), ns(None, axis, None)),
+            "ipow4": jax.device_put(jnp.asarray(q4_host.ipow4), ns(None, axis, None)),
+        }
+        n = prover.n
+        powers = prover.ck.powers
+        powers_body = jax.device_put(powers[:n], ns(axis, None, None))
+        powers_tail = jax.device_put(powers[n : n + 4], rep)
+        b3 = jax.device_put(prover.ck.b3, rep)
+        return st_dev, q4_dev, tables_dev, powers_body, powers_tail, b3
+
+    def run(self, statics, witness_args: Dict):
+        """witness_args: same dict the single-chip fused core takes."""
+        mesh, axis = self.mesh, self.axis_name
+        ns = lambda *s: NamedSharding(mesh, P(*s))
+        rep = NamedSharding(mesh, P())
+        spec_for = {
+            "wires": ns(None, axis, None),
+            "f": ns(axis, None),
+            "t_evals": ns(axis, None),
+            "h1": ns(axis, None),
+            "h2": ns(axis, None),
+            "pi_evals": ns(axis, None),
+        }
+        placed = {
+            k: jax.device_put(v, spec_for.get(k, rep))
+            for k, v in witness_args.items()
+        }
+        return self._core(*statics, **placed)

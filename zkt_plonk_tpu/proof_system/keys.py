@@ -47,13 +47,20 @@ class ProverKey:
 
 @dataclass(eq=False)
 class ExtendedProverKey:
-    """Precomputed 4n coset tables + n-domain evals the prover needs."""
+    """Precomputed 4n-coset tables (INTERLEAVED layout) + n-domain evals.
+
+    Coset tables are (4, n, L): entry [j][k] = value at the coset point
+    g*w4n^j*w_n^k (global 4n index 4k+j) — see ``ops/ntt.coset4_fft``.
+    This keeps every device array n-sized on its poly axis (domain
+    shardable with no resharding) and turns the prover's "next" (+4)
+    coset taps into +1 rolls inside each subdomain.
+    """
 
     n: int
-    coset: Dict[str, jnp.ndarray]  # name -> (4n, L) coset evals
-    x_coset: jnp.ndarray  # (4n, L)
-    zh_coset_inv: jnp.ndarray  # (4n, L)
-    l1_coset: jnp.ndarray  # (4n, L)
+    coset: Dict[str, jnp.ndarray]  # name -> (4, n, L) interleaved coset evals
+    x_coset: jnp.ndarray  # (4, n, L)
+    zh_coset_inv: jnp.ndarray  # (4, L) — zh on the coset depends only on j
+    l1_coset: jnp.ndarray  # (4, n, L)
     sigma_evals: jnp.ndarray  # (3, n, L) evaluation-form sigmas
     roots: jnp.ndarray  # (n, L) domain elements
     q_lookup_evals_host: List[int]  # n ints (0/1)

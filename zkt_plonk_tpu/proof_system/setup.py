@@ -93,8 +93,14 @@ def setup(
 def extend_prover_key(
     ctx, domain: Domain, pk: ProverKey, sigma_evals, q_lookup_evals
 ) -> ExtendedProverKey:
-    """4n coset tables + vanishing/lagrange precomputation
-    (``keys/mod.rs:78-146``)."""
+    """Interleaved 4n-coset tables + vanishing/lagrange precomputation
+    (``keys/mod.rs:78-146``).
+
+    All coset tables use the INTERLEAVED layout (4, n, L): entry [j][k]
+    is the value at the 4n-coset point g*w4n^j*w_n^k (global index 4k+j)
+    — see ``ops/ntt.coset4_fft``.  zh on the coset depends only on j, so
+    its inverse shrinks to 4 scalars.
+    """
     n = domain.size
     p = domain.modulus
     spec = domain.spec
@@ -105,29 +111,33 @@ def extend_prover_key(
     # zh on the coset has only 4 distinct values: (g w4n^i)^n = g^n * i4^i
     g_n = pow(domain.coset_gen, n, p)
     i4 = pow(domain4.group_gen, n, p)  # primitive 4th root of unity
-    zh_vals = [(g_n * pow(i4, i, p) - 1) % p for i in range(4)]
+    zh_vals = [(g_n * pow(i4, j, p) - 1) % p for j in range(4)]
     zh_inv_vals = [pow(v, -1, p) for v in zh_vals]
-    zh_coset_inv = np.tile(ints_to_array(zh_inv_vals, spec.n_limbs), (n, 1))
+    zh_coset_inv = ints_to_array(zh_inv_vals, spec.n_limbs)  # (4, L)
 
-    x_coset_host = [domain.coset_gen * pow(domain4.group_gen, i, p) % p for i in range(4 * n)]
-    x_coset = ints_to_array(x_coset_host, spec.n_limbs)
+    roots_host = domain.elements()
+    gj = [domain.coset_gen * pow(domain4.group_gen, j, p) % p for j in range(4)]
+    x_coset_host = [[gjv * r % p for r in roots_host] for gjv in gj]
+    x_coset = np.stack(
+        [ints_to_array(row, spec.n_limbs) for row in x_coset_host]
+    )  # (4, n, L)
 
     # L1 on the coset: zh(x) / (n (x - 1))
-    l1_denoms = [n * (x - 1) % p for x in x_coset_host]
+    l1_denoms = [n * (x - 1) % p for row in x_coset_host for x in row]
     from ..fields.host import batch_inverse_ints
 
     l1_inv = batch_inverse_ints(l1_denoms, p)
     l1_vals = [
-        zh_vals[i % 4] * l1_inv[i] % p for i in range(4 * n)
+        zh_vals[i // n] * l1_inv[i] % p for i in range(4 * n)
     ]
-    l1_coset = ints_to_array(l1_vals, spec.n_limbs)
+    l1_coset = ints_to_array(l1_vals, spec.n_limbs).reshape(4, n, spec.n_limbs)
 
     @jax.jit
-    def _cosets(plan4, polys):
-        padded = jnp.pad(polys, ((0, 0), (0, 3 * n), (0, 0)))
-        return ntt.coset_fft(spec, plan4, padded)
+    def _cosets(plan, q4, polys):
+        return ntt.coset4_fft(spec, plan, q4, polys)
 
-    coset_tables = _cosets(domain4.plan(), stacked)  # (10, 4n, L)
+    coset_tables = _cosets(domain.plan(), domain.quarter_plan(), stacked)
+    # (10, 4, n, L)
 
     return ExtendedProverKey(
         n=n,
@@ -138,6 +148,6 @@ def extend_prover_key(
         sigma_evals=jnp.asarray(
             np.stack([ints_to_array(s, spec.n_limbs) for s in sigma_evals])
         ),
-        roots=jnp.asarray(ints_to_array(domain.elements(), spec.n_limbs)),
+        roots=jnp.asarray(ints_to_array(roots_host, spec.n_limbs)),
         q_lookup_evals_host=list(q_lookup_evals),
     )

@@ -98,6 +98,54 @@ class Domain:
             _plan_cache[key] = cached
         return cached
 
+    def quarter_plan(self):
+        """Tables for the INTERLEAVED 4n-coset transform (ops/ntt.coset4_*).
+
+        The 4n coset g*H_4n splits into 4 interleaved n-subdomains
+        {g * w4n^j * H_n} (j = 0..3, global index i = 4k + j), so a 4n
+        coset FFT = 4 batched n-size NTTs with per-subdomain coset
+        scalings — no 4n working set, and the prover's "next" (+4) taps
+        become +1 rolls inside each subdomain.  Replaces the reference's
+        monolithic 4n coset domain (``quotient_poly.rs:52-96``).
+        """
+        key = (self.spec.params.name, self.log_size, "q4")
+        cached = _plan_cache.get(key)
+        if cached is not None:
+            return cached
+        from ..ops.ntt import Coset4Plan
+
+        p, n = self.modulus, self.size
+        w4n = self.spec.params.root_of_unity(self.log_size + 2)
+        g = self.coset_gen
+        i4 = pow(w4n, n, p)  # primitive 4th root of unity
+        gj = [g * pow(w4n, j, p) % p for j in range(4)]
+        L = self.spec.n_limbs
+        pow4 = np.stack([self.powers_array(x, n) for x in gj])
+        ipow4 = np.stack([self.powers_array(pow(x, -1, p), n) for x in gj])
+        gn4 = ints_to_array([pow(x, n, p) for x in gj], L)
+        inv4 = pow(4, -1, p)
+        i4_inv = pow(i4, -1, p)
+        g_inv_n = pow(g, -n, p)
+        mix_vals = [
+            pow(i4_inv, j * t, p) * pow(g_inv_n, t, p) % p * inv4 % p
+            for t in range(4)
+            for j in range(4)
+        ]
+        mix = ints_to_array(mix_vals, L).reshape(4, 4, L)
+        plan = Coset4Plan(pow4=pow4, ipow4=ipow4, gn4=gn4, mix=mix)
+        _plan_cache[key] = plan
+        return plan
+
+    def quarter_plan_device(self):
+        key = (self.spec.params.name, self.log_size, "q4", "device")
+        cached = _plan_cache.get(key)
+        if cached is None:
+            import jax
+
+            cached = jax.device_put(self.quarter_plan())
+            _plan_cache[key] = cached
+        return cached
+
     def bit_reversal_perm(self) -> np.ndarray:
         return _bitrev_cached(self.log_size)
 
