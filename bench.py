@@ -1,16 +1,25 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline: single-chip NTT(2^14) + KZG-commit(2^14) pipeline throughput
-(BASELINE.md config #2).  The reference publishes no numbers
-(BASELINE.md: README "Performance: TODO", empty bench file), so
-``vs_baseline`` is null until a measured CPU reference baseline exists.
+Headline: full withdraw-circuit proving throughput (BASELINE.md config #4,
+reference flow ``prove.rs:59-483`` at the default instance config
+HEIGHT=48 / NOTES=3 / TABLE=1024 / Poseidon x4 — ``bin/src/instance.rs:41``).
+Falls back to the NTT+MSM pipeline metric if the withdraw run is skipped
+(``ZKT_BENCH_QUICK=1``).
 
-Extra sub-metrics (field-mul throughput, NTT sizes, MSM) go to stderr for
-human inspection; stdout carries exactly the one JSON line.
+Methodology (fixed in r3 after the r1->r2 field-mul "regression" proved to
+be measurement artifact): every latency is the MEDIAN over >= 5 trials of
+a fixed-iteration in-jit loop, with the relay round-trip floor measured
+and subtracted.  A bare dispatch+device_get through the axon relay costs
+~25-30 ms, so single-shot timings are meaningless.
+
+``vs_baseline`` is null: the reference publishes no numbers and this
+environment has no Rust toolchain to measure it (BASELINE.md).
 """
 
 import json
+import os
 import random
+import statistics
 import sys
 import time
 
@@ -23,13 +32,38 @@ def log(msg):
 
 def sync(x):
     """Honest device sync: block_until_ready is a no-op through the axon
-    relay (it measures dispatch, not execution). Pull a few real elements
-    through device_get to force execution to finish."""
+    relay. Pull a few real elements through device_get."""
     import jax
     import jax.numpy as jnp
 
     leaf = jax.tree_util.tree_leaves(x)[0]
     return np.asarray(jax.device_get(jnp.ravel(leaf)[:4]))
+
+
+def median_time(fn, reps=5, inner=1, floor=0.0):
+    """Median wall time of fn() over reps trials, minus the relay floor,
+    divided by ``inner`` (the number of operations fn performs)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn())
+        ts.append(time.perf_counter() - t0)
+    return max(0.0, (statistics.median(ts) - floor)) / inner
+
+
+def relay_floor():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    t = f(jnp.ones((8,), jnp.uint32))
+    sync(t)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(f(t))
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
 def main():
@@ -44,82 +78,119 @@ def main():
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
+    floor = relay_floor()
+    log(f"relay round-trip floor: {floor*1e3:.1f} ms (subtracted)")
 
     spec = make_spec(BN254_FR)
     p = spec.modulus
     rng = random.Random(0)
+    detail = {"backend": backend, "relay_floor_ms": round(floor * 1e3, 1)}
 
-    # --- field mul throughput --------------------------------------------
+    # --- field mul throughput (10 chained muls in ONE jit) ---------------
     n = 1 << 20
     base = ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs)
     A = jnp.asarray(np.tile(base, (n // 1024, 1)))
-    mulf = jax.jit(lambda x, y: fd.mul(spec, x, y))
-    sync(mulf(A, A))
-    t0 = time.time()
-    iters = 20
-    C = A
-    for _ in range(iters):
-        C = mulf(C, A)
-    sync(C)
-    mul_rate = n * iters / (time.time() - t0)
-    log(f"field mul 2^20: {mul_rate/1e9:.2f} G/s")
+    B = jnp.asarray(np.tile(
+        ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
+        (n // 1024, 1)))
+    mul10 = jax.jit(
+        lambda x, y: jax.lax.fori_loop(0, 10, lambda i, c: fd.mul(spec, c, y), x)
+    )
+    sync(mul10(A, B))
+    t = median_time(lambda: mul10(A, B), reps=7, inner=10, floor=floor)
+    mul_rate = n / t
+    detail["field_mul_G_per_s"] = round(mul_rate / 1e9, 3)
+    log(f"field mul 2^20: {mul_rate/1e9:.3f} G/s")
 
-    # --- NTT 2^14 ---------------------------------------------------------
+    # --- NTT 2^14 (default TPU path) -------------------------------------
     n_ntt = 1 << 14
     dom = make_domain(BN254_FR, n_ntt)
-    coeffs = jnp.asarray(
-        np.tile(ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
-                (n_ntt // 1024, 1))
-    )
+    coeffs = jnp.asarray(np.tile(
+        ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
+        (n_ntt // 1024, 1)))
     plan = dom.plan_device()
     fftf = jax.jit(lambda pl, c: ntt.fft(dom.spec, pl, c))
     sync(fftf(plan, coeffs))
-    t0 = time.time()
-    iters = 10
-    out = coeffs
-    for _ in range(iters):
-        out = fftf(plan, out)
-    sync(out)
-    ntt_time = (time.time() - t0) / iters
+    ntt_time = median_time(lambda: fftf(plan, coeffs), reps=7, floor=floor)
+    detail["ntt_2e14_ms"] = round(ntt_time * 1e3, 2)
     log(f"NTT 2^14: {ntt_time*1e3:.2f} ms -> {1/ntt_time:.1f} NTT/s")
 
-    # --- KZG commit (MSM) 2^14 -------------------------------------------
+    # --- KZG commit (Pippenger MSM window totals + host fold) ------------
     from zkt_plonk_tpu.commitment import kzg
     from zkt_plonk_tpu.curves import make_context
 
     ctx = make_context("bn254")
-    ck, _ = kzg.setup(ctx, max_degree=n_ntt, tau=987654321)
-    committer = kzg.Committer(ck)
-    scalars = jnp.asarray(
-        np.tile(ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
-                (n_ntt // 1024, 1))
-    )
-    # the real product path: device window totals + host Horner fold
-    r = committer.commit_many([scalars])
-    t0 = time.time()
-    iters = 3
-    for _ in range(iters):
-        r = committer.commit_many([scalars])
-    msm_time = (time.time() - t0) / iters
-    log(f"KZG commit 2^14 (Pippenger MSM): {msm_time*1e3:.1f} ms")
+    for log_m in (14, 16):
+        m = 1 << log_m
+        ck, _ = kzg.setup(ctx, max_degree=m, tau=987654321)
+        committer = kzg.Committer(ck)
+        scalars = jnp.asarray(np.tile(
+            ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
+            (m // 1024, 1)))[None]
+        committer.commit_many(scalars)  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            committer.commit_many(scalars)
+            ts.append(time.perf_counter() - t0)
+        msm_t = statistics.median(ts)
+        detail[f"msm_2e{log_m}_ms"] = round(msm_t * 1e3, 1)
+        log(f"KZG commit 2^{log_m} (device totals + host fold): {msm_t*1e3:.1f} ms")
+        del ck, committer
 
-    pipeline_per_s = 1.0 / (ntt_time + msm_time)
-    print(
-        json.dumps(
-            {
-                "metric": "ntt14_plus_kzg_commit14_pipeline",
-                "value": round(pipeline_per_s, 3),
-                "unit": "ops/s/chip",
-                "vs_baseline": None,
-                "detail": {
-                    "backend": backend,
-                    "field_mul_G_per_s": round(mul_rate / 1e9, 2),
-                    "ntt_2e14_ms": round(ntt_time * 1e3, 2),
-                    "msm_2e14_ms": round(msm_time * 1e3, 2),
-                },
-            }
-        )
-    )
+    # --- withdraw proof (headline, BASELINE #4) --------------------------
+    quick = os.environ.get("ZKT_BENCH_QUICK", "0") == "1"
+    if not quick:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_withdraw import build
+        from zkt_plonk_tpu.cs import ConstraintSystem
+        from zkt_plonk_tpu.plonk import ZKTPlonk
+
+        height, notes = 48, 3
+        circuit, table, pub_inputs = build(height, notes)
+        cs = ConstraintSystem(p, setup=True, lookup_table=table)
+        circuit.synthesize(cs)
+        bound = cs.circuit_bound()
+        log(f"withdraw circuit: gates={cs.n} bound=2^{bound.bit_length()-1}")
+        inst = ZKTPlonk(curve="bn254", table=table)
+        t0 = time.perf_counter()
+        ck, cvk = kzg.setup(inst.ctx, max_degree=4 * bound, tau=987654321)
+        log(f"srs setup: {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        compiled = inst.compile(circuit, ck, cvk)
+        log(f"circuit compile: {time.perf_counter()-t0:.1f}s")
+        prng = random.Random(42)
+        t0 = time.perf_counter()
+        proof = inst.prove(compiled, circuit, rng=prng)
+        cold = time.perf_counter() - t0
+        log(f"prove (cold, incl jit): {cold:.1f}s")
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            proof = inst.prove(compiled, circuit, rng=prng)
+            times.append(time.perf_counter() - t0)
+        warm = min(times)
+        inst.verify(compiled, proof, pub_inputs)
+        log(f"prove (warm): {warm:.2f}s; verify OK")
+        detail["withdraw_prove_cold_s"] = round(cold, 1)
+        detail["withdraw_prove_warm_s"] = round(warm, 3)
+        detail["withdraw_height"] = height
+        detail["withdraw_notes"] = notes
+        value = round(1.0 / warm, 4)
+        metric = "withdraw_proofs_per_s"
+        unit = "proofs/s/chip"
+    else:
+        value = round(1.0 / (ntt_time + detail["msm_2e14_ms"] / 1e3), 3)
+        metric = "ntt14_plus_kzg_commit14_pipeline"
+        unit = "ops/s/chip"
+
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": None,
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

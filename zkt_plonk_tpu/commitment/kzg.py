@@ -135,12 +135,20 @@ class Committer:
         self._jit_commit = jax.jit(_commit)
 
         # device computes per-window totals; the serial Horner fold over
-        # windows runs on host (see msm.fold_windows_host)
-        def _totals(coeffs, powers, b3):
-            m = coeffs.shape[0]
-            return msm.msm_totals(ck.ctx.fq_spec, b3, powers[:m], coeffs, fr_bits)
+        # windows runs on host (see msm.fold_windows_host).  The whole
+        # BATCH runs as one program and crosses to host in one device_get:
+        # each dispatch+device_get round-trip through the axon relay costs
+        # ~25-30ms, so per-poly calls would dominate small commits.
+        def _totals_batch(coeffs_batch, powers, b3):
+            m = coeffs_batch.shape[1]
+            return jax.lax.map(
+                lambda cfs: msm.msm_totals(
+                    ck.ctx.fq_spec, b3, powers[:m], cfs, fr_bits
+                ),
+                coeffs_batch,
+            )  # (B, W, 3, L)
 
-        self._jit_totals = jax.jit(_totals)
+        self._jit_totals_batch = jax.jit(_totals_batch)
         self._host_powers = None
 
     def _use_host(self, m: int) -> bool:
@@ -182,14 +190,15 @@ class Committer:
                 acc = ch.msm(srs, scalars)
                 out.append(None if acc is None else (int(acc[0]), int(acc[1])))
             return out
-        totals = [
-            self._jit_totals(polys[i], self.ck.powers, self.ck.b3) for i in range(B)
-        ]
+        stacked = polys if hasattr(polys, "shape") else jnp.stack(list(polys))
+        totals = np.asarray(
+            self._jit_totals_batch(stacked, self.ck.powers, self.ck.b3)
+        )  # ONE dispatch + ONE device_get for the whole batch
         c = msm.msm_window_size(m)
         Fq = self.ck.ctx.Fq
         return [
-            msm.fold_windows_host(self.ck.ctx.fq_spec, Fq, np.asarray(t), c)
-            for t in totals
+            msm.fold_windows_host(self.ck.ctx.fq_spec, Fq, totals[i], c)
+            for i in range(B)
         ]
 
 

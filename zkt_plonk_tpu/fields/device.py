@@ -270,10 +270,16 @@ def pow_const(spec: FieldSpec, a: jnp.ndarray, exponent: int) -> jnp.ndarray:
     """a^exponent for a *static* non-negative exponent (square & multiply).
 
     ``fori_loop`` over exponent bits (MSB first) keeps the traced graph
-    small regardless of exponent size.
+    small regardless of exponent size.  Long chains route to the pallas
+    square-and-multiply kernel on TPU: a ~380-step chain as XLA ops costs
+    ~30ms (per-op overhead on tiny shapes), the VMEM kernel ~0.5ms.
     """
     if exponent == 0:
         return one(spec, a.shape[:-1])
+    from . import pallas as fp
+
+    if exponent.bit_length() >= 32 and fp.use_pallas():
+        return fp.pow_chain(spec, a, exponent)
     nbits = exponent.bit_length()
     bits = np.asarray(
         [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32

@@ -314,3 +314,81 @@ def eligible(a, b) -> bool:
     shape = np.broadcast_shapes(a.shape, b.shape)
     n = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
     return n >= MIN_PALLAS_ELEMS
+
+
+# ---------------------------------------------------------------------------
+# square-and-multiply chain kernel (Fermat inversion / fixed pow)
+# ---------------------------------------------------------------------------
+#
+# A ~380-step square-and-multiply chain issued as XLA ops costs ~30ms on
+# TPU regardless of batch size (per-op overhead on tiny shapes dominates —
+# measured: fd.inv of ONE element = 31ms).  This kernel runs the whole
+# chain on a VMEM-resident (L, B) tile: one pallas_call, fori_loop inside,
+# ~0.5ms.  Used by fd.pow_const (hence fd.inv / fd.batch_inverse totals).
+
+POW_BLOCK = 256
+
+
+@lru_cache(maxsize=None)
+def _pow_kernel(spec: FieldSpec, nbits: int, interpret: bool):
+    L = spec.n_limbs
+
+    def kernel(p_ref, mu_ref, bits_ref, x_ref, o_ref):
+        x = x_ref[...]
+        # limb-major one: row 0 = 1 (iota+where — .at[].set lowers to an
+        # unsupported scatter in Mosaic)
+        row = jax.lax.broadcasted_iota(jnp.uint32, x.shape, 0)
+        acc0 = jnp.where(row == 0, jnp.uint32(1), jnp.uint32(0))
+
+        def body(i, acc):
+            sq = _barrett_mul_lm(acc, acc, p_ref[...], mu_ref[...], L)
+            sqx = _barrett_mul_lm(sq, x, p_ref[...], mu_ref[...], L)
+            return jnp.where(bits_ref[i] > 0, sqx, sq)
+
+        o_ref[...] = jax.lax.fori_loop(0, nbits, body, acc0)
+
+    p_spec = pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((L + 1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    bits_spec = pl.BlockSpec((nbits,), lambda j: (0,), memory_space=pltpu.SMEM)
+    data_spec = pl.BlockSpec(
+        (L, POW_BLOCK), lambda j: (0, j), memory_space=pltpu.VMEM
+    )
+
+    def call(p_arr, mu, bits, x_lm):
+        n = x_lm.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n), U32),
+            grid=(n // POW_BLOCK,),
+            in_specs=[p_spec, mu_spec, bits_spec, data_spec],
+            out_specs=data_spec,
+            interpret=interpret,
+        )(p_arr, mu, bits, x_lm)
+
+    return call
+
+
+def pow_chain(spec: FieldSpec, a, exponent: int, *, interpret: bool = False):
+    """a^exponent elementwise via one square-and-multiply chain kernel.
+
+    a: element-major ``uint32[..., L]`` canonical.  The exponent is STATIC
+    (baked into the kernel's bit schedule).  Maps 0 -> 0 for exponents
+    >= 1 (so Fermat inversion keeps the 0 -> 0 convention).
+    """
+    assert exponent >= 1
+    L = spec.n_limbs
+    shape = a.shape
+    n = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
+    a2 = a.reshape(n, L).T  # (L, n)
+    pad = (-n) % POW_BLOCK
+    if pad:
+        a2 = jnp.pad(a2, ((0, 0), (0, pad)))
+    nbits = exponent.bit_length()
+    bits = np.asarray(
+        [(exponent >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.int32
+    )
+    p_arr, mu = _consts(spec, "mul")
+    out = _pow_kernel(spec, nbits, interpret)(p_arr, mu, jnp.asarray(bits), a2)
+    if pad:
+        out = out[:, :n]
+    return out.T.reshape(shape)

@@ -444,4 +444,8 @@ class ShardedProverCore:
             k: jax.device_put(v, spec_for.get(k, rep))
             for k, v in witness_args.items()
         }
-        return self._core(*statics, **placed)
+        # shard_map-wrapped callables take positional args only
+        order = ["wires", "f", "t_evals", "h1", "h2", "pi_evals",
+                 "z_scalars", "q_scalars", "q_weights",
+                 "blinders_abc", "blinders_th", "blinders_z", "qblinders"]
+        return self._core(*statics, *[placed[k] for k in order])
