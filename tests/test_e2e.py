@@ -98,16 +98,32 @@ class SmallCircuitDef:
         cs.lookup_constrain(lt(a))
 
 
-def test_full_prove_verify_ipa():
-    """Full PLONK pipeline over the IPA commitment scheme."""
+@pytest.mark.parametrize("curve,seed", [
+    ("bn254", 11),
+    ("bls12_381", 14),
+    ("bls12_377", 15),
+])
+def test_full_prove_verify_ipa(curve, seed):
+    """Full PLONK pipeline over the IPA commitment scheme, all 3 curves —
+    completes the reference's 6-config matrix ({Bn254, Bls12-377,
+    Bls12-381} x {KZG, IPA}, ``plonk.rs:220-254``)."""
     from zkt_plonk_tpu.commitment import ipa
 
     table = LookupTable([1, 2, 5], size=4)
-    instance = ZKTPlonk(curve="bn254", table=table)
-    ck, cvk = ipa.setup("bn254", max_degree=32)
+    if curve == "bn254":
+        instance = ZKTPlonk(curve=curve, table=table)
+    else:
+        from zkt_plonk_tpu.transcript.merlin import MerlinTranscript
+
+        instance = ZKTPlonk(
+            curve=curve,
+            transcript_factory=lambda label: MerlinTranscript(label, coord_bytes=48),
+            table=table,
+        )
+    ck, cvk = ipa.setup(curve, max_degree=32)
 
     compiled = instance.compile(SmallCircuitDef(), ck, cvk)
-    proof = instance.prove(compiled, SmallCircuitDef(), random.Random(11))
+    proof = instance.prove(compiled, SmallCircuitDef(), random.Random(seed))
     instance.verify(compiled, proof, [6])
 
     with pytest.raises((VerificationError, AssertionError)):

@@ -60,3 +60,52 @@ def test_cli_setup_poseidon(capsys):
     out = capsys.readouterr().out
     assert "full rounds = 8" in out
     assert "partial rounds = 56" in out
+
+
+def test_cli_full_withdraw_flow(tmp_path, capsys):
+    """The complete CLI application flow at a shrunken instance config:
+    compile -> init-store -> deposit x2 -> prove-withdraw -> verify ->
+    store update (``bin/src/main.rs:190-319``).  Slow (real prove on the
+    CPU backend) but the only end-to-end coverage of cmd_prove_withdraw."""
+    d = str(tmp_path)
+    paths = {
+        "ck": f"{d}/ck", "cvk": f"{d}/cvk", "pk": f"{d}/pk", "vk": f"{d}/vk",
+        "tree": f"{d}/tree", "notes": f"{d}/notes", "proof": f"{d}/proof",
+    }
+    base = ["--height", "4", "--note-inputs", "1", "--table-size", "8",
+            "--poseidon-width", "3"]
+    addr = "0x" + "12" * 20
+
+    cli_main(base + ["compile", "-d", str(1 << 14),
+                     "--ck", paths["ck"], "--cvk", paths["cvk"],
+                     "--pk", paths["pk"], "--vk", paths["vk"]])
+    cli_main(base + ["init-store", "-t", paths["tree"], "-n", paths["notes"]])
+    cli_main(base + ["deposit", "-t", paths["tree"], "-n", paths["notes"],
+                     "-i", addr, "-a", "500"])
+    cli_main(base + ["deposit", "-t", paths["tree"], "-n", paths["notes"],
+                     "-i", addr, "-a", "300"])
+    cli_main(base + [
+        "prove-withdraw",
+        "--ck", paths["ck"], "--cvk", paths["cvk"],
+        "--pk", paths["pk"], "--vk", paths["vk"],
+        "-t", paths["tree"], "-n", paths["notes"],
+        "-x", "0", "-s", addr, "-i", addr, "-a", "120",
+        "--seed", "42", "--proof-out", paths["proof"],
+    ])
+    out = capsys.readouterr().out
+    assert "verifying finished" in out
+
+    # stores updated: spent note removed, change note appended, tree grown
+    from zkt_plonk_tpu.gadgets.merkle_tree import MerkleTreeStore
+    from zkt_plonk_tpu.gadgets.note import Notes
+
+    store = MerkleTreeStore.from_dict(ser.load_json(paths["tree"]))
+    assert store.next_index == 3  # 2 deposits + 1 change leaf
+    notes = Notes.from_dict(ser.load_json(paths["notes"]))
+    assert len(notes.notes) == 2
+    amounts = sorted(n.amount for n in notes.notes)
+    assert amounts == [300, 380]  # unspent 300 + change 500-120
+
+    proof_dict = ser.load_json(paths["proof"])
+    back = ser.proof_from_dict(proof_dict)
+    assert back.a_commit is not None

@@ -164,16 +164,22 @@ class Poseidon:
         return self.output_hash(cs)
 
     def _hash_native_fast(self, inputs):
-        """C++ fast path (``native/zkt_native.cpp``); un-filled state slots
-        are zero, matching the Python sponge semantics."""
+        """Native fast paths: the C++ batch hasher
+        (``native/zkt_native.cpp``) or, without it, the optimized sparse-
+        matrix round schedule (``poseidon/optimized.py`` — ~2x fewer muls
+        than the plain schedule).  Un-filled state slots are zero,
+        matching the Python sponge semantics."""
         arity = self.constants.width - 1
         if len(inputs) > arity:
             raise FullBufferError("cannot input more elements than arity")
+        row = [int(v) for v in inputs] + [0] * (arity - len(inputs))
         try:
             from ... import _native
         except ImportError:
-            return None
-        row = [int(v) for v in inputs] + [0] * (arity - len(inputs))
+            from . import optimized
+
+            state = [self.constants.domain_tag] + row
+            return optimized.permute_optimized(self.constants, state)[1]
         out = _native.poseidon_hash_batch(self.constants, [row])
         return out[0] if out else None
 
