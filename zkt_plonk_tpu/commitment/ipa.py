@@ -42,16 +42,25 @@ Affine = Optional[Tuple[object, object]]  # host affine point (Fq, Fq) or None
 
 
 def _sqrt_mod(a: int, p: int) -> Optional[int]:
-    """Square root mod p for p ≡ 3 (mod 4) (true for bn254/bls12-381 Fq)."""
-    assert p % 4 == 3
-    r = pow(a, (p + 1) // 4, p)
-    return r if r * r % p == a % p else None
+    """Square root mod p (general: Tonelli-Shanks for p ≡ 1 mod 4, e.g.
+    BLS12-377 Fq)."""
+    from ..utils.arkserde import sqrt_mod
+
+    return sqrt_mod(a, p)
 
 
 def hash_to_point(ctx: CurveCtx, tag: bytes) -> Tuple[object, object]:
-    """Map a byte tag to a curve point with no known discrete log."""
+    """Map a byte tag to a prime-order-subgroup point with no known
+    discrete log.
+
+    Cofactor clearing is soundness-critical for the IPA: the u/u^-1
+    folding computes inverses mod r, and (u * u^-1) P == P only holds for
+    points of order r — an off-subgroup generator (cofactor > 1 on the
+    BLS curves) breaks the verification identity.
+    """
     p = ctx.curve.fq.modulus
     b = ctx.curve.b
+    cofactor = ctx.curve.g1_cofactor
     nbytes = (p.bit_length() + 7) // 8
     ctr = 0
     while True:
@@ -67,7 +76,11 @@ def hash_to_point(ctx: CurveCtx, tag: bytes) -> Tuple[object, object]:
             if y % 2:  # canonical choice: even y
                 y = p - y
             pt = (ctx.Fq(x), ctx.Fq(y))
-            # clear cofactor (bn254 G1 cofactor is 1; keep generic)
+            if cofactor != 1:
+                pt = ch.scalar_mul(pt, cofactor)
+                if pt is None:  # landed on the identity; try again
+                    ctr += 1
+                    continue
             return pt
         ctr += 1
 

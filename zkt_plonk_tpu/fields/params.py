@@ -59,6 +59,9 @@ class CurveParams:
     # "D": E' y^2 = x^3 + b/xi (bn254); "M": E' y^2 = x^3 + b*xi (bls12-381).
     # Determines the untwist map and therefore the sparse line embedding.
     twist_type: str = "D"
+    # G1 cofactor #E(Fq)/r — 1 for BN curves; hash-to-curve points must be
+    # multiplied by it to land in the prime-order subgroup.
+    g1_cofactor: int = 1
 
 
 # --------------------------------------------------------------------------
@@ -128,6 +131,7 @@ BLS12_381_FR = FieldParams(
 
 BLS12_381 = CurveParams(
     name="bls12_381",
+    g1_cofactor=0x396C8C005555E1568C00AAAB0000AAAB,
     fq=BLS12_381_FQ,
     fr=BLS12_381_FR,
     b=4,
@@ -177,6 +181,7 @@ BLS12_377_FR = FieldParams(
 
 BLS12_377 = CurveParams(
     name="bls12_377",
+    g1_cofactor=0x170B5D44300000000000000000000000,
     fq=BLS12_377_FQ,
     fr=BLS12_377_FR,
     b=1,

@@ -54,26 +54,6 @@ def window_digits(scalars: jnp.ndarray, c: int, fr_bits: int) -> jnp.ndarray:
     return jnp.stack(digits)
 
 
-def _suffix_scan_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Inclusive suffix 'sums' (EC adds) along ``axis`` — Hillis-Steele
-    under fori_loop (one compiled complete-add body)."""
-    k = pts.shape[axis]
-    if k == 1:
-        return pts
-    steps = (k - 1).bit_length()
-    idx_shape = [1] * pts.ndim
-    idx_shape[axis] = k
-    idx = jnp.arange(k).reshape(idx_shape)
-
-    def body(i, y):
-        d = jnp.int32(1) << i
-        shifted = jnp.roll(y, -d, axis=axis)
-        summed = ec.add(spec, b3, y, shifted)
-        return jnp.where(idx < k - d, summed, y)
-
-    return jax.lax.fori_loop(0, steps, body, pts)
-
-
 def _tree_reduce_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp.ndarray:
     """EC sum along ``axis`` by pairwise halving — work k-1 adds, depth
     ceil(log2 k). Keeps the axis (size 1) removed on return."""
@@ -96,10 +76,11 @@ def _tree_reduce_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp
 def _pick_params(n: int, c: int) -> Tuple[int, int]:
     if c <= 0:
         c = 4 if n <= (1 << 12) else 6
-    # v5e sweep (scripts/bench_msm_sweep.py, n=2^14): total time plateaus
-    # at G in [16, 32] (c 5..6); larger G inflates the bucket tensor whose
-    # per-iteration gather/scatter dominates, smaller G over-serializes.
-    groups = min(64, max(8, n // 512))
+    # r3 v5e sweep (scripts/bench_msm_sweep2.py, n=2^14, flat scatter):
+    # c=6/G=16 90.9ms; G=32 +23%; G=64 +127%; c=8 ~5x worse, c=10 ~15x —
+    # the bucket scatter cost tracks the bucket TENSOR size, so small K
+    # and small G win.  Larger G also inflates the tensor with no upside.
+    groups = min(16, max(8, n // 1024))
     return c, groups
 
 

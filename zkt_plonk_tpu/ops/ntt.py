@@ -45,21 +45,31 @@ class NttPlan(NamedTuple):
     mr: Optional[object] = None
 
 
-# minimum log-size for the mixed-radix pallas path
+# log-size window for the mixed-radix pallas path.  DEFAULT-ON within the
+# window on TPU (r3): with MUL_CHUNK_ROWS=16 the kernels fit Mosaic's
+# scoped-vmem budget and measure faster than the fori path (3.59 vs
+# 5.03 ms at 2^14, 3.98 ms at 2^15, parity-verified on v5e).  At 2^16+
+# the F=256 passes crash the remote compiler at any chunk size — the
+# fori path serves those sizes until the pass structure is reworked.
 MR_MIN_LOG = 12
+MR_MAX_LOG = 15
 
 
 # Read ONCE at import: the gate's scope is process-wide and pre-trace
 # (flipping the env var after a round program has been traced would
 # silently do nothing).  Flip programmatically with ``enable_mr()``
-# BEFORE any jit tracing.
+# BEFORE any jit tracing.  ZKT_PLONK_NTT_MR=0 force-disables, =1
+# force-enables (any size); unset follows the size window.
 import os as _os
 
-_MR_ENABLED = _os.environ.get("ZKT_PLONK_NTT_MR", "0") == "1"
+_MR_ENV = _os.environ.get("ZKT_PLONK_NTT_MR", "")
+_MR_ENABLED: Optional[bool] = (
+    True if _MR_ENV == "1" else False if _MR_ENV == "0" else None
+)
 
 
-def enable_mr(on: bool = True) -> None:
-    """Opt the process in/out of the mixed-radix pallas NTT path.
+def enable_mr(on: Optional[bool] = True) -> None:
+    """Force the mixed-radix pallas NTT path on/off (None = auto window).
 
     Must be called before any round program is traced — the flag is read
     at trace time and baked into the compiled executable.
@@ -69,16 +79,15 @@ def enable_mr(on: bool = True) -> None:
 
 
 def _use_mr(plan: NttPlan) -> bool:
-    # The multi-stage-in-VMEM column kernel currently exceeds Mosaic's 16MB
-    # scoped-vmem budget on real TPU (stack cost ~ F * lanes * limb-mul
-    # intermediates); until the stage-chunked redesign lands it is opt-in.
-    # The default TPU path (fori-loop stages + pallas field-mul) compiles
-    # and runs everywhere.
-    if not _MR_ENABLED:
+    if plan.mr is None:
+        return False
+    if _MR_ENABLED is False:
+        return False
+    if _MR_ENABLED is None and plan.mr.fwd.n > (1 << MR_MAX_LOG):
         return False
     from ..fields import pallas as fp
 
-    return plan.mr is not None and fp.use_pallas()
+    return fp.use_pallas()
 
 
 def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, tw_flat: jnp.ndarray) -> jnp.ndarray:

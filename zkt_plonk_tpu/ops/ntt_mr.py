@@ -48,10 +48,13 @@ FULL_TABLE_MAX = 1 << 16  # build O(n) tables when F*M is at most this
 # so VMEM pressure is managed on the SUBLANE side instead: the stacked
 # Barrett multiplies inside a kernel are chunked to at most MUL_CHUNK_ROWS
 # rows per call (peak live set ~ rows * (2L+2) * 128 lanes * ~6 buffers).
-MUL_CHUNK_ROWS = 64
+# 16 is what fits Mosaic's scoped-vmem budget on real v5e for F = 256
+# passes (64 exceeded it — the r2 "non-functional on real TPU" failure);
+# 32 measured slightly slower (3.88 vs 3.59 ms at 2^14).
+MUL_CHUNK_ROWS = 16
 
 
-def _mb_for(F: int, L: int, Mtot: int) -> int:
+def _mb_for(Mtot: int) -> int:
     """Lane block: 128, or the whole (smaller) lane dimension."""
     return min(MB, Mtot)
 
@@ -429,7 +432,7 @@ def _col_pass_pallas(x, stage_tws, L, p_arr, mu, interpret=False):
     non-sliced mul operand.
     """
     F, _, Mtot = x.shape
-    mb = _mb_for(F, L, Mtot)
+    mb = _mb_for(Mtot)
     grid = Mtot // mb
 
     def kernel(p_ref, mu_ref, tw_ref, x_ref, o_ref):
@@ -456,7 +459,7 @@ def _mul3d(x, tbl, L, p_arr, mu, use_kernel, interpret=False):
     if not use_kernel:
         return fp._barrett_mul_lm(x, tbl, p_arr, mu, L)
     F, _, Mtot = x.shape
-    mb = _mb_for(F, L, Mtot)
+    mb = _mb_for(Mtot)
     grid = Mtot // mb
 
     def kernel(p_ref, mu_ref, x_ref, t_ref, o_ref):
@@ -470,6 +473,9 @@ def _mul3d(x, tbl, L, p_arr, mu, use_kernel, interpret=False):
             if rows <= MUL_CHUNK_ROWS:
                 o_ref[...] = mul(x_full, t)
             else:
+                # factorize() yields power-of-two F, so full chunks only;
+                # a ragged tail would need a clamped final store
+                assert rows % MUL_CHUNK_ROWS == 0, "rows must chunk evenly"
                 for i in range(0, rows, MUL_CHUNK_ROWS):
                     o_ref[i : i + MUL_CHUNK_ROWS] = mul(
                         x_full[i : i + MUL_CHUNK_ROWS], t

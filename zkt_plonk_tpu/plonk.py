@@ -81,6 +81,17 @@ class ZKTPlonk:
         circuit: Circuit,
         rng: Optional[random.Random] = None,
     ) -> Proof:
+        """Produce a proof (``plonk.rs:94-110`` / ``prove.rs:59-483``).
+
+        DETERMINISTIC-BLINDER MODE: all proof randomness (the ZK blinders,
+        ``prove.rs:472-483``) flows through ``rng`` — pass
+        ``random.Random(seed)`` and the proof bytes are a pure function of
+        (keys, witness, seed).  This is the repo's analog of the
+        reference's ``ark_std::test_rng`` proof-comparison mode; exact
+        cross-implementation byte identity additionally requires sampling
+        blinders identically to the Rust rng, which needs a Rust toolchain
+        to generate fixtures (absent here — see BASELINE.md).
+        """
         rng = rng if rng is not None else random.Random()
         cs = ConstraintSystem(self.p, setup=False, lookup_table=self.table)
         circuit.synthesize(cs)

@@ -74,6 +74,13 @@ class Prover:
         self.committer = self.scheme.committer(ck)
         self._plan = self.domain.plan_device()
         self._q4 = self.domain.quarter_plan_device()
+        # static per circuit: PK polys padded to the committed n+4 shape
+        # (hoisted out of prove() — ~10 pad dispatches per proof otherwise)
+        self._pk_padded = {
+            name: jnp.pad(pk.polys[name], ((0, 4), (0, 0)))
+            for name in ("sigma1", "sigma2", "sigma3", "q_lookup", "q_table",
+                         "q_m", "q_l", "q_r", "q_o", "q_c")
+        }
         self._tables: Dict = {
             "coset": dict(epk.coset),
             "x_coset": epk.x_coset,
@@ -457,11 +464,7 @@ class Prover:
         omega = self.domain.group_gen
         wxi = xi * omega % p
 
-        pk_padded = {
-            name: jnp.pad(self.pk.polys[name], ((0, 4), (0, 0)))
-            for name in ("sigma1", "sigma2", "sigma3", "q_lookup", "q_table",
-                         "q_m", "q_l", "q_r", "q_o", "q_c")
-        }
+        pk_padded = self._pk_padded
 
         polys_xi = jnp.stack(
             [
