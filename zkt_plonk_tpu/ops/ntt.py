@@ -46,13 +46,12 @@ class NttPlan(NamedTuple):
 
 
 # log-size window for the mixed-radix pallas path.  DEFAULT-ON within the
-# window on TPU (r3): with MUL_CHUNK_ROWS=16 the kernels fit Mosaic's
-# scoped-vmem budget and measure faster than the fori path (3.59 vs
-# 5.03 ms at 2^14, 3.98 ms at 2^15, parity-verified on v5e).  At 2^16+
-# the F=256 passes crash the remote compiler at any chunk size — the
-# fori path serves those sizes until the pass structure is reworked.
+# window on TPU (r3): with MUL_CHUNK_ROWS=16 and radix <= 128 passes the
+# kernels fit Mosaic's scoped-vmem budget and compile at every prover
+# size; measured v5e: 3.6 ms at 2^14, 5.6 ms at 2^16 (the fori-gather
+# path degrades to 173 ms there).
 MR_MIN_LOG = 12
-MR_MAX_LOG = 15
+MR_MAX_LOG = 20
 
 
 # Read ONCE at import: the gate's scope is process-wide and pre-trace

@@ -72,22 +72,26 @@ def _mul_row_chunked(mul, a, b):
 
 
 def factorize(log_n: int) -> Tuple[int, ...]:
-    """Split log2(n) into D factors, each <= 8; F1 = 8 so P_d >= 256 >= MB
-    for every later pass (required by compact-table addressing)."""
+    """Split log2(n) into D factors: F1 = 128 (2^7), later factors <= 2^7,
+    split evenly.
+
+    F1 must give P_d >= MB = 128 for every later pass (compact-table
+    addressing), hence 7; factors are capped at 7 because F = 256 passes
+    crash the TPU remote compiler for multi-pass plans at n >= 2^16
+    (measured r3) while F = 128 compiles everywhere — and runs FAST:
+    2^16 measured 5.56 ms vs 173.75 ms for the fori-gather path.
+    """
     k = log_n
     if k <= 8:
         return (k,)
-    if k <= 16:
+    if k <= 15:
+        # two radix-(256, <=128) passes: F=256 is safe (and measured
+        # faster: 3.6 vs 6.1 ms at 2^14) below the multi-pass sizes
         return (8, k - 8)
-    if k <= 24:
-        f2 = -(-(k - 8) // 2)
-        return (8, f2, k - 8 - f2)
-    if k <= 32:
-        f = k - 8
-        f2 = -(-f // 3)
-        f3 = -(-(f - f2) // 2)
-        return (8, f2, f3, f - f2 - f3)
-    raise ValueError(f"n = 2^{k} too large")
+    r = k - 7
+    parts = -(-r // 7)  # remaining passes, each <= 7
+    base, extra = divmod(r, parts)
+    return (7,) + tuple(base + (1 if i < extra else 0) for i in range(parts))
 
 
 def _bitrev_perm(F: int) -> np.ndarray:

@@ -348,6 +348,7 @@ def pcommit_totals(
     fr_bits: int,
     c: int,
     axis_name: str = "poly",
+    groups: int = 0,
 ):
     """Window totals for an MSM over (n sharded + 4 replicated-tail) rows.
 
@@ -361,7 +362,8 @@ def pcommit_totals(
     so window totals align across devices and with the host fold.
     """
     tot = pmsm_totals(
-        fq_spec, b3, powers_shard, coeffs_shard, fr_bits, axis_name=axis_name, c=c
+        fq_spec, b3, powers_shard, coeffs_shard, fr_bits, axis_name=axis_name,
+        c=c, groups=groups,
     )
     tail_tot = msm_mod.msm_totals(
         fq_spec, b3, tail_points, tail_coeffs, fr_bits, c=c, groups=1

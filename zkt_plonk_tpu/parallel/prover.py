@@ -65,6 +65,7 @@ def sharded_fused_core(
     fr_bits: int,
     n: int,
     msm_c: int,
+    msm_groups: int,
     st: pops.ShardNttTables,
     q4: ntt.Coset4Plan,
     tables: Dict,
@@ -288,7 +289,7 @@ def sharded_fused_core(
         body, tail = args
         return pops.pcommit_totals(
             fq_spec, b3, powers_body, powers_tail, body, tail, fr_bits,
-            c=msm_c, axis_name=axis_name,
+            c=msm_c, axis_name=axis_name, groups=msm_groups,
         )
 
     totals = jax.lax.map(one_commit, (all_bodies, all_tails))  # (11, W, 3, L)
@@ -298,7 +299,12 @@ def sharded_fused_core(
 class ShardedProverCore:
     """Builds the jitted shard_map program + shardings for a Prover."""
 
-    def __init__(self, prover, mesh: Mesh, axis_name: str = AXIS):
+    def __init__(self, prover, mesh: Mesh, axis_name: str = AXIS,
+                 msm_groups: int = 0):
+        """``msm_groups`` > 0 shrinks the per-device bucket graph (fewer
+        accumulation groups).  Any value is mathematically correct; small
+        values cut the XLA CPU compile of the scatter graphs (used by the
+        virtual-device dryrun) at some device-throughput cost."""
         from ..ops.msm import msm_window_size
 
         self.prover = prover
@@ -309,6 +315,7 @@ class ShardedProverCore:
         assert n % self.D == 0, "circuit size must divide the mesh"
         self.st_host = pops.build_shard_ntt_tables(prover.domain, self.D)
         self.msm_c = msm_window_size(n + 4)
+        self.msm_groups = msm_groups
         self._build()
 
     def _build(self):
@@ -319,6 +326,7 @@ class ShardedProverCore:
         n = prover.n
         axis = self.axis_name
         msm_c = self.msm_c
+        msm_groups = self.msm_groups
 
         sh = lambda *spec_: P(*spec_)
         rep = P()
@@ -339,7 +347,7 @@ class ShardedProverCore:
                  wires, f, t_evals, h1, h2, pi_evals, z_scalars, q_scalars,
                  q_weights, blinders_abc, blinders_th, blinders_z, qblinders):
             return sharded_fused_core(
-                spec, fq_spec, fr_bits, n, msm_c, st, q4, tables,
+                spec, fq_spec, fr_bits, n, msm_c, msm_groups, st, q4, tables,
                 powers_body, powers_tail, b3, wires, f, t_evals, h1, h2,
                 pi_evals, z_scalars, q_scalars, q_weights,
                 blinders_abc, blinders_th, blinders_z, qblinders,
