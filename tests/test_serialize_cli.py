@@ -72,8 +72,9 @@ def test_cli_full_withdraw_flow(tmp_path, capsys):
         "ck": f"{d}/ck", "cvk": f"{d}/cvk", "pk": f"{d}/pk", "vk": f"{d}/vk",
         "tree": f"{d}/tree", "notes": f"{d}/notes", "proof": f"{d}/proof",
     }
+    # width 4: the leaf hash takes 3 inputs (identifier, amount, commitment)
     base = ["--height", "4", "--note-inputs", "1", "--table-size", "8",
-            "--poseidon-width", "3"]
+            "--poseidon-width", "4"]
     addr = "0x" + "12" * 20
 
     cli_main(base + ["compile", "-d", str(1 << 14),
