@@ -140,7 +140,30 @@ def main():
 
     # --- withdraw proof (headline, BASELINE #4) --------------------------
     quick = os.environ.get("ZKT_BENCH_QUICK", "0") == "1"
+    fallback = {
+        "metric": "ntt14_plus_kzg_commit14_pipeline",
+        "value": round(1.0 / (ntt_time + detail["msm_2e14_ms"] / 1e3), 3),
+        "unit": "ops/s/chip",
+        "vs_baseline": None,
+        "detail": dict(detail),
+    }
     if not quick:
+        # WATCHDOG: remote TPU compiles don't reliably hit the persistent
+        # cache, so a cold withdraw section can take ~35 min; if it
+        # overruns the budget, emit the pipeline fallback metric and exit
+        # 0 so the round still records a (single) valid JSON line.
+        import threading
+
+        budget = int(os.environ.get("ZKT_BENCH_WITHDRAW_BUDGET_S", "1200"))
+
+        def _bail():
+            log(f"withdraw section exceeded {budget}s budget — emitting fallback")
+            print(json.dumps(fallback), flush=True)
+            os._exit(0)
+
+        watchdog = threading.Timer(budget, _bail)
+        watchdog.daemon = True
+        watchdog.start()
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from bench_withdraw import build
         from zkt_plonk_tpu.cs import ConstraintSystem
@@ -171,6 +194,7 @@ def main():
             times.append(time.perf_counter() - t0)
         warm = min(times)
         inst.verify(compiled, proof, pub_inputs)
+        watchdog.cancel()
         log(f"prove (warm): {warm:.2f}s; verify OK")
         detail["withdraw_prove_cold_s"] = round(cold, 1)
         detail["withdraw_prove_warm_s"] = round(warm, 3)
@@ -180,9 +204,9 @@ def main():
         metric = "withdraw_proofs_per_s"
         unit = "proofs/s/chip"
     else:
-        value = round(1.0 / (ntt_time + detail["msm_2e14_ms"] / 1e3), 3)
-        metric = "ntt14_plus_kzg_commit14_pipeline"
-        unit = "ops/s/chip"
+        value = fallback["value"]
+        metric = fallback["metric"]
+        unit = fallback["unit"]
 
     print(json.dumps({
         "metric": metric,

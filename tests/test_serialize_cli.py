@@ -77,7 +77,7 @@ def test_cli_full_withdraw_flow(tmp_path, capsys):
             "--poseidon-width", "4"]
     addr = "0x" + "12" * 20
 
-    cli_main(base + ["compile", "-d", str(1 << 14),
+    cli_main(base + ["compile", "-d", str(1 << 16),
                      "--ck", paths["ck"], "--cvk", paths["cvk"],
                      "--pk", paths["pk"], "--vk", paths["vk"]])
     cli_main(base + ["init-store", "-t", paths["tree"], "-n", paths["notes"]])

@@ -93,6 +93,10 @@ def setup(
 
 
 def trim(ck: CommitterKey, cvk: VerifierKeyKZG, degree: int):
+    assert ck.max_degree >= degree, (
+        f"SRS supports degree {ck.max_degree}, circuit needs {degree} "
+        f"(circuit_bound * 4) — regenerate with a larger max_degree"
+    )
     return CommitterKey(ctx=ck.ctx, powers=ck.powers[: degree + 1], b3=ck.b3), cvk
 
 

@@ -40,7 +40,6 @@ from jax import lax
 from ..fields import device as fd
 from ..fields.limbs import FieldSpec
 from ..ops import msm as msm_mod
-from ..ops.ec import identity as ec_identity
 from ..ops.msm import _tree_reduce_points
 from ..ops.ntt import _butterfly_stages
 
