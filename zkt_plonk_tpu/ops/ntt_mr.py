@@ -84,10 +84,10 @@ def factorize(log_n: int) -> Tuple[int, ...]:
     k = log_n
     if k <= 8:
         return (k,)
-    if k <= 15:
-        # two radix-(256, <=128) passes: F=256 is safe (and measured
-        # faster: 3.6 vs 6.1 ms at 2^14) below the multi-pass sizes
-        return (8, k - 8)
+    # NO radix-256 in multi-pass plans: an F=256 pass at the full mb=128
+    # lane block needs ~20MB of scoped vmem (> the 16MB budget) — it only
+    # ever fit for single-poly transforms whose lane dim was < 128, which
+    # is why batch-1 testing missed it (BATCHED 2^14 iNTTs crashed).
     r = k - 7
     parts = -(-r // 7)  # remaining passes, each <= 7
     base, extra = divmod(r, parts)
