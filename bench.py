@@ -67,6 +67,8 @@ def relay_floor():
 
 
 def main():
+    import threading
+
     import jax
     import jax.numpy as jnp
 
@@ -75,6 +77,32 @@ def main():
     from zkt_plonk_tpu.fields.limbs import ints_to_array
     from zkt_plonk_tpu.ops import ntt
     from zkt_plonk_tpu.utils.domain import make_domain
+
+    # GLOBAL watchdog: the driver parses the FIRST JSON line on stdout and
+    # kills the process at an unknown budget; we must print exactly one
+    # line, before either happens.  On fire: emit the best metric gathered
+    # so far and exit cleanly.  (The axon relay can also wedge for minutes
+    # on a trivial dispatch — this bounds that too.)
+    state = {"fallback": None, "done": False}
+    budget = int(os.environ.get("ZKT_BENCH_BUDGET_S", "840"))
+
+    def _bail():
+        if state["done"]:
+            return
+        state["done"] = True
+        log(f"bench exceeded {budget}s budget — emitting best-so-far metric")
+        line = state["fallback"] or {
+            "metric": "bench_incomplete",
+            "value": 0.0,
+            "unit": "n/a",
+            "vs_baseline": None,
+        }
+        print(json.dumps(line), flush=True)
+        os._exit(0)
+
+    global_watchdog = threading.Timer(budget, _bail)
+    global_watchdog.daemon = True
+    global_watchdog.start()
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
@@ -149,21 +177,25 @@ def main():
     }
     if not quick:
         # Emit the fallback pipeline metric line NOW: a cold withdraw
-        # section takes ~35 min (remote TPU compiles don't reliably hit
-        # the persistent cache) and an external harness timeout of
-        # unknown size may kill this process mid-way.  With this line
-        # already on stdout the run records a valid metric regardless;
-        # on success the final line below reports the withdraw headline.
+        # section can take many minutes (remote TPU compiles don't
+        # reliably hit the persistent cache) and an external harness
+        # timeout of unknown size may kill this process mid-way.  With
+        # this line already on stdout the run records a valid metric
+        # regardless; on success the final line below reports the
+        # withdraw headline (harness convention: last line wins, and a
+        # killed run still has the first).
         print(json.dumps(fallback), flush=True)
 
         # WATCHDOG for a clean in-process exit at a known budget.
         import threading
 
-        budget = int(os.environ.get("ZKT_BENCH_WITHDRAW_BUDGET_S", "1200"))
+        budget = int(os.environ.get("ZKT_BENCH_WITHDRAW_BUDGET_S", "780"))
+        done = threading.Event()
 
         def _bail():
-            log(f"withdraw section exceeded {budget}s budget — emitting fallback")
-            print(json.dumps(fallback), flush=True)
+            if done.is_set():
+                return
+            log(f"withdraw section exceeded {budget}s budget — fallback stands")
             os._exit(0)
 
         watchdog = threading.Timer(budget, _bail)
@@ -171,22 +203,67 @@ def main():
         watchdog.start()
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from bench_withdraw import build
-        from zkt_plonk_tpu.cs import ConstraintSystem
-        from zkt_plonk_tpu.plonk import ZKTPlonk
+        from zkt_plonk_tpu.plonk import CompiledCircuit, ZKTPlonk
+        from zkt_plonk_tpu.utils import serialize as ser
 
         height, notes = 48, 3
         circuit, table, pub_inputs = build(height, notes)
-        cs = ConstraintSystem(p, setup=True, lookup_table=table)
-        circuit.synthesize(cs)
-        bound = cs.circuit_bound()
-        log(f"withdraw circuit: gates={cs.n} bound=2^{bound.bit_length()-1}")
         inst = ZKTPlonk(curve="bn254", table=table)
-        t0 = time.perf_counter()
-        ck, cvk = kzg.setup(inst.ctx, max_degree=4 * bound, tau=987654321)
-        log(f"srs setup: {time.perf_counter()-t0:.1f}s")
-        t0 = time.perf_counter()
-        compiled = inst.compile(circuit, ck, cvk)
-        log(f"circuit compile: {time.perf_counter()-t0:.1f}s")
+
+        # --- key checkpoint: SRS + compiled keys persist across runs -----
+        # (the reference's checkpoint system, ``bin/src/parser.rs:5-23``;
+        # here it also keeps the driver bench inside its budget: SRS gen +
+        # circuit compile cost ~450 s cold through the axon relay)
+        key_dir = os.path.join(
+            os.path.expanduser("~/.cache/zkt_plonk_tpu"),
+            f"bench_keys_v1_h{height}n{notes}",
+        )
+        paths = {k: os.path.join(key_dir, k) for k in ("ck", "pk", "vk", "cvk", "epk")}
+        have_keys = all(
+            os.path.exists(paths[k] + (".npz" if k in ("ck", "pk", "epk") else ""))
+            for k in paths
+        )
+        if have_keys:
+            t0 = time.perf_counter()
+            compiled = CompiledCircuit(
+                ck=ser.load_committer_key(paths["ck"]),
+                cvk=ser.load_kzg_vk(paths["cvk"]),
+                pk=ser.load_prover_key(paths["pk"]),
+                epk=ser.load_extended_prover_key(paths["epk"]),
+                vk=ser.load_verifier_key(paths["vk"]),
+            )
+            log(f"keys loaded from {key_dir}: {time.perf_counter()-t0:.1f}s "
+                f"(n={compiled.vk.n})")
+        else:
+            from zkt_plonk_tpu.cs import ConstraintSystem
+
+            cs = ConstraintSystem(p, setup=True, lookup_table=table)
+            circuit.synthesize(cs)
+            bound = cs.circuit_bound()
+            log(f"withdraw circuit: gates={cs.n} bound=2^{bound.bit_length()-1}")
+            t0 = time.perf_counter()
+            ck, cvk = kzg.setup(inst.ctx, max_degree=4 * bound, tau=987654321)
+            log(f"srs setup: {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            compiled = inst.compile(circuit, ck, cvk)
+            log(f"circuit compile: {time.perf_counter()-t0:.1f}s")
+            # prover MSMs never go beyond n+4 coefficients; trim the SRS to
+            # that (50 MB checkpoint instead of 800 MB) and PROVE with the
+            # trimmed key too, so both the cold and the key-loaded runs
+            # compile identical MSM shapes (shared XLA cache entries)
+            compiled.ck = kzg.CommitterKey(
+                ctx=compiled.ck.ctx,
+                powers=compiled.ck.powers[: compiled.vk.n + 5],
+                b3=compiled.ck.b3,
+            )
+            t0 = time.perf_counter()
+            os.makedirs(key_dir, exist_ok=True)
+            ser.save_committer_key(paths["ck"], compiled.ck)
+            ser.save_kzg_vk(paths["cvk"], compiled.cvk)
+            ser.save_prover_key(paths["pk"], compiled.pk)
+            ser.save_verifier_key(paths["vk"], compiled.vk)
+            ser.save_extended_prover_key(paths["epk"], compiled.epk)
+            log(f"keys checkpointed to {key_dir}: {time.perf_counter()-t0:.1f}s")
         prng = random.Random(42)
         t0 = time.perf_counter()
         proof = inst.prove(compiled, circuit, rng=prng)
@@ -199,6 +276,7 @@ def main():
             times.append(time.perf_counter() - t0)
         warm = min(times)
         inst.verify(compiled, proof, pub_inputs)
+        done.set()
         watchdog.cancel()
         log(f"prove (warm): {warm:.2f}s; verify OK")
         detail["withdraw_prove_cold_s"] = round(cold, 1)

@@ -16,7 +16,7 @@ import time
 from .circuits.withdraw import WithdrawCircuit
 from .commitment import kzg
 from .config import DEFAULT_CONFIG, InstanceConfig
-from .cs import ConstraintSystem, LookupTable
+from .cs import LookupTable
 from .curves import make_context
 from .gadgets.merkle_tree import MerkleTree, MerkleTreeStore
 from .gadgets.note import Note, Notes
@@ -63,6 +63,9 @@ def cmd_compile(args, cfg: InstanceConfig):
     ser.save_kzg_vk(args.cvk, compiled.cvk)
     ser.save_prover_key(args.pk, compiled.pk)
     ser.save_verifier_key(args.vk, compiled.vk)
+    if not args.no_epk:
+        # reference serializes the EPK alongside pk/vk (``main.rs:108-109``)
+        ser.save_extended_prover_key(args.epk, compiled.epk)
     print("keys written")
 
 
@@ -164,18 +167,16 @@ def cmd_prove_withdraw(args, cfg: InstanceConfig):
     pk = ser.load_prover_key(args.pk)
     vk = ser.load_verifier_key(args.vk)
 
-    from .proof_system.setup import extend_prover_key
-    from .utils.domain import make_domain
+    # EPK: load the serialized file if present (``parser.rs:5-23``), else
+    # rebuild from the PK polynomials by FFT — no circuit re-synthesis
+    # (``prove.rs:88-102``)
+    epk_path = args.epk if args.epk.endswith(".npz") else args.epk + ".npz"
+    if os.path.exists(epk_path):
+        epk = ser.load_extended_prover_key(epk_path)
+    else:
+        from .proof_system.setup import extend_prover_key_from_pk
 
-    # EPK is pure precomputation; rebuild from PK on load
-    domain = make_domain(ctx.curve.fr, pk.n)
-    cs = ConstraintSystem(p, setup=True, lookup_table=instance.table)
-    circuit_setup = circuit  # same structure
-    # re-synthesize to recover sigma evals/q_lookup for EPK
-    WithdrawCircuit.default(constants, cfg.note_inputs, cfg.height).synthesize(cs)
-    cs.setup.pad_to(pk.n)
-    sigma_evals = cs.setup.perm.compute_all_sigma_evals(pk.n, domain.elements(), p)
-    epk = extend_prover_key(ctx, domain, pk, sigma_evals, cs.setup.q_lookup)
+        epk = extend_prover_key_from_pk(ck, pk)
 
     compiled = CompiledCircuit(ck=ck, cvk=cvk, pk=pk, epk=epk, vk=vk)
 
@@ -215,6 +216,10 @@ def main(argv=None):
     c.add_argument("--cvk", default="data/cvk")
     c.add_argument("--pk", default="data/pk")
     c.add_argument("--vk", default="data/vk")
+    c.add_argument("--epk", default="data/epk")
+    c.add_argument("--no-epk", action="store_true",
+                   help="skip the (large) EPK checkpoint; prove-withdraw "
+                        "rebuilds it from the PK by FFT")
 
     sub.add_parser("setup-poseidon")
 
@@ -236,6 +241,7 @@ def main(argv=None):
     w.add_argument("--cvk", default="data/cvk")
     w.add_argument("--pk", default="data/pk")
     w.add_argument("--vk", default="data/vk")
+    w.add_argument("--epk", default="data/epk")
     w.add_argument("--merkle-tree", "-t", default="data/merkle-tree")
     w.add_argument("--notes", "-n", default="data/notes")
     w.add_argument("--note-indexes", "-x", type=int, action="append", required=True)

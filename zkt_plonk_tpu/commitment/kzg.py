@@ -76,11 +76,39 @@ def setup(
     fr_spec = ctx.fr_spec
     fq_spec = ctx.fq_spec
     b3 = ec.b3_const(fq_spec, ctx.curve.b)
-    tables = jnp.asarray(msm.fixed_base_tables(ctx, ctx.g1, c=8))
-    scalars = jnp.asarray(ints_to_array(powers_int, fr_spec.n_limbs))
-    powers = jax.jit(
-        lambda t, s, b: msm.fixed_base_msm(fq_spec, b, t, s, r.bit_length(), c=8)
-    )(tables, scalars, b3)
+    if max_degree <= 4096:
+        # small SRS (dryrun / unit tests): host windowed fixed-base MSM —
+        # under the device dispatch floor and zero XLA compile time
+        W = msm.num_windows(r.bit_length(), 8)
+        base = ctx.g1
+        table = []
+        for _ in range(W):
+            row = [None]
+            for _ in range(255):
+                row.append(ch.add(row[-1], base))
+            table.append(row)
+            for _ in range(8):
+                base = ch.double(base)
+        pts = []
+        for s in powers_int:
+            acc = None
+            for w in range(W):
+                d = (s >> (8 * w)) & 255
+                if d:
+                    acc = ch.add(acc, table[w][d])
+            pts.append(acc)
+        powers = jnp.asarray(
+            ec.from_affine_host(
+                fq_spec,
+                [None if a is None else (int(a[0]), int(a[1])) for a in pts],
+            )
+        )
+    else:
+        tables = jnp.asarray(msm.fixed_base_tables(ctx, ctx.g1, c=8))
+        scalars = jnp.asarray(ints_to_array(powers_int, fr_spec.n_limbs))
+        powers = jax.jit(
+            lambda t, s, b: msm.fixed_base_msm(fq_spec, b, t, s, r.bit_length(), c=8)
+        )(tables, scalars, b3)
 
     ck = CommitterKey(ctx=ctx, powers=powers, b3=b3)
     cvk = VerifierKeyKZG(

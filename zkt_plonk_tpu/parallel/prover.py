@@ -91,13 +91,12 @@ def sharded_fused_core(
     replicated, q body shards (3, m, L), q tails (3, 4, L))."""
     one = fd.one(spec)
     m = wires.shape[1]
-
-    # --- round 1+2: wire & lookup polys (sharded ifft + blinding) -------
-    abc_body, abc_tail = _pifft_body_tail(spec, st, wires, blinders_abc, axis_name)
     th_evals = jnp.stack([t_evals, h1, h2])
-    th_body, th_tail = _pifft_body_tail(spec, st, th_evals, blinders_th, axis_name)
 
-    # --- round 3: grand products (mirrors prover.z_round) ---------------
+    # --- round 3 evals first: grand products (mirrors prover.z_round) ---
+    # z1/z2 depend only on EVALUATIONS, so all 9 iffts (wires, z, lookup,
+    # pi) batch into ONE sharded ifft below — one butterfly graph instead
+    # of four (compile time) and one set of collectives (runtime).
     a, b, c = wires[0], wires[1], wires[2]
     roots = tables["roots"]
     s1, s2, s3 = (tables["sigma"][i] for i in range(3))
@@ -153,17 +152,23 @@ def sharded_fused_core(
         axis_name,
     )
     z_evals = pops.pprefix_products(spec, shifted, axis=1, axis_name=axis_name)
-    z_body, z_tail = _pifft_body_tail(spec, st, z_evals, blinders_z, axis_name)
+
+    # --- rounds 1-3 iffts, batched: ONE sharded ifft over 9 rows --------
+    nine_evals = jnp.concatenate(
+        [wires, z_evals, th_evals, pi_evals[None]]
+    )  # (9, m, L) [a,b,c,z1,z2,t,h1,h2,pi]
+    nine_tail = jnp.concatenate(
+        [blinders_abc, blinders_z, blinders_th, jnp.zeros_like(blinders_abc[:1])]
+    )  # (9, 4, L) replicated
+    nine_body, nine_tail = _pifft_body_tail(
+        spec, st, nine_evals, nine_tail, axis_name
+    )
+    abc_body, abc_tail = nine_body[0:3], nine_tail[0:3]
+    z_body, z_tail = nine_body[3:5], nine_tail[3:5]
+    th_body, th_tail = nine_body[5:8], nine_tail[5:8]
 
     # --- round 4: quotient (mirrors prover.quotient_round) --------------
     c4 = tables["coset"]
-    pi_body = pops.pifft(spec, st, pi_evals, axis_name)  # (m, L)
-    nine_body = jnp.concatenate(
-        [abc_body, z_body, th_body, pi_body[None]]
-    )  # (9, m, L) [a,b,c,z1,z2,t,h1,h2,pi]
-    nine_tail = jnp.concatenate(
-        [abc_tail, z_tail, th_tail, jnp.zeros_like(abc_tail[:1])]
-    )  # (9, 4, L) replicated
 
     # coset4_fft with the tail fold applied on device 0 (global rows 0..3)
     head4 = jnp.broadcast_to(

@@ -60,6 +60,12 @@ class Prover:
     ):
         from ..commitment import scheme as scheme_mod
 
+        if epk is None:
+            # rebuild by FFT from the PK — ``prove.rs:88-102`` (supports
+            # ``compile(extend=False)`` and key loading without an EPK file)
+            from .setup import extend_prover_key_from_pk
+
+            epk = extend_prover_key_from_pk(ck, pk)
         self.ck = ck
         self.pk = pk
         self.epk = epk

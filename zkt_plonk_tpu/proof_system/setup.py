@@ -62,11 +62,26 @@ def setup(
         composer.q_lookup,
         q_table,
     ]
-    evals_arr = jnp.asarray(
-        np.stack([ints_to_array(col, spec.n_limbs) for col in eval_columns])
-    )  # (10, n, L)
+    from ..ops import ntt_host
 
-    polys_arr = jax.jit(lambda pl, e: ntt.ifft(spec, pl, e))(domain.plan(), evals_arr)
+    if n <= ntt_host.HOST_NTT_MAX:
+        # tiny circuits: host-int NTTs beat the device dispatch floor and
+        # cost zero XLA compile time (dryrun / unit-test path)
+        polys_arr = jnp.asarray(
+            np.stack(
+                [
+                    ints_to_array(ntt_host.ifft_ints(col, domain.group_gen, p), spec.n_limbs)
+                    for col in eval_columns
+                ]
+            )
+        )
+    else:
+        evals_arr = jnp.asarray(
+            np.stack([ints_to_array(col, spec.n_limbs) for col in eval_columns])
+        )  # (10, n, L)
+        polys_arr = jax.jit(lambda pl, e: ntt.ifft(spec, pl, e))(
+            domain.plan(), evals_arr
+        )
 
     # batch-commit the 10 polynomials (``setup.rs:104-121``); commit at
     # n+4 coefficients — the same padded shape the prover uses for witness
@@ -88,6 +103,39 @@ def setup(
     return pk, epk, vk
 
 
+
+
+def extend_prover_key_from_pk(ck, pk: ProverKey) -> ExtendedProverKey:
+    """Rebuild the EPK from PK polynomials by FFT — NO circuit re-synthesis.
+
+    Mirrors the reference's on-demand extension when the serialized EPK is
+    absent (``plonk-core/src/proof_system/prove.rs:88-102``): sigma and
+    q_lookup evaluation columns are recovered by forward FFT of the PK
+    coefficient polynomials, then fed to ``extend_prover_key``.
+    """
+    from ..fields.limbs import array_to_ints
+    from ..ops import ntt_host
+
+    ctx = ck.ctx
+    p = ctx.curve.fr.modulus
+    n = pk.n
+    domain = make_domain(ctx.curve.fr, n)
+    spec = domain.spec
+    names = ["sigma1", "sigma2", "sigma3", "q_lookup"]
+    if n <= ntt_host.HOST_NTT_MAX:
+        evals = [
+            ntt_host.fft_ints(
+                array_to_ints(np.asarray(pk.polys[nm])), domain.group_gen, p
+            )
+            for nm in names
+        ]
+    else:
+        out = jax.jit(lambda pl, c: ntt.fft(spec, pl, c))(
+            domain.plan(), pk.stacked(names)
+        )
+        arr = np.asarray(out)
+        evals = [array_to_ints(arr[i]) for i in range(4)]
+    return extend_prover_key(ctx, domain, pk, evals[:3], evals[3])
 
 
 def extend_prover_key(
@@ -132,12 +180,32 @@ def extend_prover_key(
     ]
     l1_coset = ints_to_array(l1_vals, spec.n_limbs).reshape(4, n, spec.n_limbs)
 
-    @jax.jit
-    def _cosets(plan, q4, polys):
-        return ntt.coset4_fft(spec, plan, q4, polys)
+    from ..ops import ntt_host
 
-    coset_tables = _cosets(domain.plan(), domain.quarter_plan(), stacked)
-    # (10, 4, n, L)
+    if n <= ntt_host.HOST_NTT_MAX:
+        # host-int interleaved coset tables (see ``ops/ntt_host``): entry
+        # [i][j][k] = poly_i at g*w4n^j*w_n^k — same layout as coset4_fft
+        from ..fields.limbs import array_to_ints
+
+        coeff_ints = [array_to_ints(np.asarray(stacked[i])) for i in range(10)]
+        rows = []
+        for ci in coeff_ints:
+            per_j = [
+                ntt_host.coset_fft_ints(ci, gj_, domain.group_gen, p)
+                for gj_ in gj
+            ]
+            rows.append(
+                np.stack([ints_to_array(ev, spec.n_limbs) for ev in per_j])
+            )
+        coset_tables = jnp.asarray(np.stack(rows))  # (10, 4, n, L)
+    else:
+
+        @jax.jit
+        def _cosets(plan, q4, polys):
+            return ntt.coset4_fft(spec, plan, q4, polys)
+
+        coset_tables = _cosets(domain.plan(), domain.quarter_plan(), stacked)
+        # (10, 4, n, L)
 
     return ExtendedProverKey(
         n=n,

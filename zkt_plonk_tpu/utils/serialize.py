@@ -22,8 +22,11 @@ from ..proof_system.proof import Proof, ProofEvaluations
 
 
 def save_committer_key(path: str, ck: kzg.CommitterKey):
-    np.savez_compressed(
-        path, powers=np.asarray(ck.powers), curve=ck.ctx.name
+    # uint16: limbs are 16-bit payloads in uint32 lanes; uncompressed:
+    # point data is incompressible and savez_compressed costs minutes at
+    # SRS scale
+    np.savez(
+        path, powers=np.asarray(ck.powers, dtype=np.uint16), curve=ck.ctx.name
     )
 
 
@@ -34,7 +37,7 @@ def load_committer_key(path: str) -> kzg.CommitterKey:
     ctx = make_context(str(data["curve"]))
     return kzg.CommitterKey(
         ctx=ctx,
-        powers=jnp.asarray(data["powers"]),
+        powers=jnp.asarray(data["powers"].astype(np.uint32)),
         b3=ec.b3_const(ctx.fq_spec, ctx.curve.b),
     )
 
@@ -80,8 +83,10 @@ def load_kzg_vk(path: str) -> kzg.VerifierKeyKZG:
 
 
 def save_prover_key(path: str, pk: ProverKey):
-    np.savez_compressed(
-        path, n=pk.n, **{name: np.asarray(pk.polys[name]) for name in POLY_ORDER}
+    np.savez(
+        path,
+        n=pk.n,
+        **{name: np.asarray(pk.polys[name], dtype=np.uint16) for name in POLY_ORDER},
     )
 
 
@@ -89,7 +94,47 @@ def load_prover_key(path: str) -> ProverKey:
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     return ProverKey(
         n=int(data["n"]),
-        polys={name: jnp.asarray(data[name]) for name in POLY_ORDER},
+        polys={name: jnp.asarray(data[name].astype(np.uint32)) for name in POLY_ORDER},
+    )
+
+
+def save_extended_prover_key(path: str, epk) -> None:
+    """EPK checkpoint (reference serializes the EPK too: ``main.rs:108-109``,
+    ``parser.rs:5-23``).  Limbs are 16-bit payloads in uint32 lanes; stored
+    as uint16 to halve the file."""
+    arrays = {f"coset_{k}": np.asarray(v, dtype=np.uint16) for k, v in epk.coset.items()}
+    # uncompressed: limb data is uniform-random-looking (compression gains
+    # nothing and costs minutes at n=2^18)
+    np.savez(
+        path,
+        n=epk.n,
+        x_coset=np.asarray(epk.x_coset, dtype=np.uint16),
+        zh_coset_inv=np.asarray(epk.zh_coset_inv, dtype=np.uint16),
+        l1_coset=np.asarray(epk.l1_coset, dtype=np.uint16),
+        sigma_evals=np.asarray(epk.sigma_evals, dtype=np.uint16),
+        roots=np.asarray(epk.roots, dtype=np.uint16),
+        q_lookup_evals=np.asarray(epk.q_lookup_evals_host, dtype=np.uint8),
+        **arrays,
+    )
+
+
+def load_extended_prover_key(path: str):
+    from ..proof_system.keys import ExtendedProverKey
+
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    u32 = lambda k: jnp.asarray(data[k].astype(np.uint32))
+    coset = {
+        k[len("coset_"):]: u32(k) for k in data.files if k.startswith("coset_")
+    }
+    return ExtendedProverKey(
+        n=int(data["n"]),
+        coset=coset,
+        x_coset=u32("x_coset"),
+        zh_coset_inv=u32("zh_coset_inv"),
+        l1_coset=u32("l1_coset"),
+        sigma_evals=u32("sigma_evals"),
+        roots=u32("roots"),
+        q_lookup_evals_host=[int(v) for v in data["q_lookup_evals"]],
     )
 
 
