@@ -159,3 +159,24 @@ def test_full_prove_verify_bls_curves(curve, tau, seed):
 
     with pytest.raises((VerificationError, AssertionError)):
         instance.verify(compiled, proof, [7])
+
+
+def test_merlin_transcript_e2e(srs):
+    """The CLI-default combo: BN254 + KZG + MERLIN transcript (reference
+    default features, ``bin/Cargo.toml``; transcript wiring
+    ``instance.rs:17-20``)."""
+    from zkt_plonk_tpu.config import transcript_factory
+
+    ck, cvk = srs
+    table = LookupTable([1, 2, 5], size=100)
+    instance = ZKTPlonk(
+        curve="bn254",
+        transcript_factory=transcript_factory("merlin"),
+        table=table,
+    )
+    compiled = instance.compile(TestCircuitDef(), ck, cvk)
+    rng = random.Random(11)
+    proof = instance.prove(compiled, TestCircuitDef(a=2, b=3, d=10, e=True), rng)
+    instance.verify(compiled, proof, [10, 2])
+    with pytest.raises((VerificationError, AssertionError)):
+        instance.verify(compiled, proof, [11, 2])

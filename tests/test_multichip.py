@@ -285,3 +285,62 @@ def test_sharded_fused_core_parity(mesh):
     for i, (w, g) in enumerate(zip(want, got)):
         w2 = None if w is None else (int(w[0]), int(w[1]))
         assert w2 == g, f"commit {i} mismatch"
+
+
+def test_sharded_full_prove_bit_identical(mesh):
+    """A REAL proof produced end-to-end over the mesh (rounds 1-5 +
+    openings through ``ShardedProver``), byte-identical to single-chip.
+
+    Covers the prover tail the fused core stops short of: sharded
+    multi-point evaluation (``peval_many``), linearization combine, and
+    the two opening divisions (``pdivide_by_linear``) + W commits.
+    """
+    import random as _random
+
+    from zkt_plonk_tpu.commitment import kzg
+    from zkt_plonk_tpu.cs import ConstraintSystem, LookupTable, lt
+    from zkt_plonk_tpu.parallel.prover import ShardedProver
+    from zkt_plonk_tpu.plonk import TRANSCRIPT_LABEL, ZKTPlonk
+    from zkt_plonk_tpu.transcript import EthereumTranscript
+    from zkt_plonk_tpu.utils import arkserde
+
+    table = LookupTable([1, 2, 5], size=63)
+    inst = ZKTPlonk(curve="bn254", table=table)
+
+    class TinyCircuit:
+        def synthesize(self, cs):
+            a = cs.assign_variable(2)
+            b = cs.assign_variable(3)
+            c = cs.mul_gate(lt(a), lt(b))
+            d = cs.add_gate(lt(c), lt(a))
+            cs.set_variable_public(lt(d))
+            cs.lookup_constrain(lt(a))
+
+    ck, cvk = kzg.setup(inst.ctx, max_degree=4 * 64, tau=123456789)
+    compiled = inst.compile(TinyCircuit(), ck, cvk)
+    assert compiled.vk.n == 64
+
+    proof1 = inst.prove(compiled, TinyCircuit(), rng=_random.Random(9))
+    inst.verify(compiled, proof1, [8])
+
+    # sharded prove with the identical transcript flow + blinder stream
+    from zkt_plonk_tpu.proof_system.prover import Prover
+
+    prover = Prover(compiled.ck, compiled.pk, compiled.epk, compiled.vk, table)
+    sp = ShardedProver(prover, mesh)
+    cs = ConstraintSystem(inst.p, setup=False, lookup_table=table)
+    TinyCircuit().synthesize(cs)
+    transcript = EthereumTranscript(TRANSCRIPT_LABEL)
+    compiled.vk.seed_transcript(transcript)
+    proof2 = sp.prove(cs.proving, transcript, _random.Random(9))
+
+    # the sharded proof must verify AND serialize byte-identically
+    inst.verify(compiled, proof2, [8])
+    p = inst.ctx
+    b1 = arkserde.proof_to_bytes(
+        proof1, p.curve.fq.modulus, p.curve.fr.modulus
+    )
+    b2 = arkserde.proof_to_bytes(
+        proof2, p.curve.fq.modulus, p.curve.fr.modulus
+    )
+    assert b1 == b2

@@ -64,12 +64,6 @@ def test_cli_setup_poseidon(capsys):
     assert "partial rounds = 56" in out
 
 
-@pytest.mark.skipif(
-    not os.environ.get("ZKT_RUN_SLOW"),
-    reason="~30-60 min on the CPU backend (the withdraw circuit is "
-    "Poseidon-dominated: 11.8k gates -> n=2^14 even at height 4); "
-    "set ZKT_RUN_SLOW=1 to run the full CLI flow",
-)
 def test_cli_full_withdraw_flow(tmp_path, capsys):
     """The complete CLI application flow at a shrunken instance config:
     compile -> init-store -> deposit x2 -> prove-withdraw -> verify ->

@@ -63,6 +63,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.zkt_poseidon_init.restype = ctypes.c_int
         lib.zkt_poseidon_hash_batch.argtypes = [ctypes.c_int, u64p, u64p, ctypes.c_size_t]
         lib.zkt_poseidon_hash_batch.restype = ctypes.c_int
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.zkt_g1_normalize_batch.argtypes = [u64p, u64p, u8p, ctypes.c_size_t]
+        lib.zkt_g1_msm.argtypes = [u64p, u8p, u64p, u64p, ctypes.c_size_t]
+        lib.zkt_g1_msm.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -132,3 +136,53 @@ def fr_inv_batch(values) -> Optional[list]:
     out = np.zeros_like(arr)
     lib.zkt_fr_inv_batch(_ptr(arr), _ptr(out), len(values))
     return u64_to_ints(out)
+
+
+def limbs16_to_u64(arr: np.ndarray) -> np.ndarray:
+    """(..., 16) uint32 16-bit limbs -> (..., 4) uint64 (little-endian)."""
+    a = np.ascontiguousarray(arr).astype(np.uint64).reshape(*arr.shape[:-1], 4, 4)
+    return (
+        a[..., 0] | (a[..., 1] << 16) | (a[..., 2] << 32) | (a[..., 3] << 48)
+    )
+
+
+def g1_normalize_batch(proj_u64: np.ndarray):
+    """(n, 3, 4) u64 canonical projective -> ((n, 2, 4) affine, (n,) inf)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = proj_u64.shape[0]
+    proj = np.ascontiguousarray(proj_u64, dtype="<u8")
+    aff = np.zeros((n, 2, 4), dtype="<u8")
+    inf = np.zeros((n,), dtype=np.uint8)
+    lib.zkt_g1_normalize_batch(
+        _ptr(proj), _ptr(aff), inf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n
+    )
+    return aff, inf
+
+
+def g1_msm(aff: np.ndarray, inf: np.ndarray, scalars_u64: np.ndarray):
+    """Pippenger MSM. Returns affine (x, y) ints or None for infinity.
+
+    aff: (n, 2, 4) u64 canonical affine; inf: (n,) uint8; scalars: (n, 4).
+    Raises RuntimeError when the native lib is unavailable (callers gate
+    on ``get_lib()``).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = aff.shape[0]
+    out = np.zeros((2, 4), dtype="<u8")
+    rc = lib.zkt_g1_msm(
+        _ptr(np.ascontiguousarray(aff, dtype="<u8")),
+        np.ascontiguousarray(inf, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        ),
+        _ptr(np.ascontiguousarray(scalars_u64, dtype="<u8")),
+        _ptr(out),
+        n,
+    )
+    if rc == 1:
+        return None
+    x, y = u64_to_ints(out)
+    return (x, y)

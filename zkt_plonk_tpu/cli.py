@@ -38,8 +38,14 @@ def identifier_to_int(identifier: str, p: int) -> int:
 
 
 def _build_instance(cfg: InstanceConfig, table_elems=()):
+    from .config import transcript_factory
+
     table = LookupTable(table_elems, size=cfg.table_size)
-    return ZKTPlonk(curve=cfg.curve, table=table)
+    return ZKTPlonk(
+        curve=cfg.curve,
+        transcript_factory=transcript_factory(cfg.transcript),
+        table=table,
+    )
 
 
 def _default_circuit(cfg: InstanceConfig):
@@ -208,6 +214,12 @@ def main(argv=None):
     parser.add_argument("--note-inputs", type=int, default=DEFAULT_CONFIG.note_inputs)
     parser.add_argument("--table-size", type=int, default=DEFAULT_CONFIG.table_size)
     parser.add_argument("--poseidon-width", type=int, default=DEFAULT_CONFIG.poseidon_width)
+    parser.add_argument(
+        "--transcript", choices=("merlin", "ethereum"),
+        default=DEFAULT_CONFIG.transcript,
+        help="Fiat-Shamir transcript (reference default: merlin, "
+             "bin/Cargo.toml default features; ethereum = EVM-compatible)",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("compile")
@@ -253,6 +265,7 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
     cfg = InstanceConfig(
+        transcript=args.transcript,
         height=args.height,
         note_inputs=args.note_inputs,
         table_size=args.table_size,

@@ -182,9 +182,30 @@ class Committer:
 
         self._jit_totals_batch = jax.jit(_totals_batch)
         self._host_powers = None
+        self._native_pts = None
 
     def _use_host(self, m: int) -> bool:
-        return jax.default_backend() == "cpu" and m <= (1 << 13)
+        # the XLA:CPU device MSM is pathological; on the CPU backend route
+        # everything to the host — through the native C++ Pippenger
+        # (``native/zkt_native.cpp``, arkworks-VariableBaseMSM-role) when
+        # available, else the Python host MSM below a size cutoff
+        if jax.default_backend() != "cpu":
+            return False
+        return self._native_available() or m <= (1 << 13)
+
+    def _native_available(self) -> bool:
+        from .. import _native
+
+        return self.ck.ctx.name == "bn254" and _native.get_lib() is not None
+
+    def _native_srs(self, m: int):
+        from .. import _native
+
+        if self._native_pts is None or self._native_pts[0].shape[0] < m:
+            proj = _native.limbs16_to_u64(np.asarray(self.ck.powers[:m]))
+            self._native_pts = _native.g1_normalize_batch(proj)
+        aff, inf = self._native_pts
+        return aff[:m], inf[:m]
 
     def _host_srs(self, m: int):
         from ..ops import ec as ec_mod
@@ -211,9 +232,17 @@ class Committer:
             "commit_many requires uniform-length polynomials"
         )
         if self._use_host(m):
+            coeff_rows = np.asarray(polys)
+            if self._native_available():
+                from .. import _native
+
+                aff, inf = self._native_srs(m)
+                return [
+                    _native.g1_msm(aff, inf, _native.limbs16_to_u64(coeff_rows[i]))
+                    for i in range(B)
+                ]
             from ..curves import curve_host as ch
 
-            coeff_rows = np.asarray(polys)
             srs = self._host_srs(m)
             out = []
             spec = self.ck.ctx.fr_spec

@@ -39,7 +39,7 @@ class KZGScheme:
     def max_degree(self, ck) -> int:
         return ck.max_degree
 
-    def open_batch(self, prover, polys, point: int, values, eta: int, label: bytes):
+    def open_batch(self, prover, polys, point: int, eta: int, label: bytes):
         """Device path: eta-fold + synthetic division + commit (one MSM).
 
         Only the eta powers (one per opened poly, <= 9) are host bigints;
@@ -98,7 +98,7 @@ class IPAScheme:
     def max_degree(self, ck) -> int:
         return ck.max_degree
 
-    def open_batch(self, prover, polys, point: int, values, eta: int, label: bytes):
+    def open_batch(self, prover, polys, point: int, eta: int, label: bytes):
         coeff_rows = np.asarray(polys)
         spec = prover.spec
         host_polys = [spec.decode(coeff_rows[i]) for i in range(len(coeff_rows))]

@@ -5,8 +5,9 @@ Rebuild of the reference's compile-time feature config
 lookup-table size, Poseidon width and SRS degree — as a runtime dataclass
 (const generics become static shapes baked into jit).
 
-Defaults match the reference CLI defaults: BN254, height-48, 3 notes,
-TABLE_SIZE=1024, Poseidon x4, KZG10, SRS 2^20.
+Defaults match the reference CLI defaults: BN254, MERLIN transcript
+(``bin/Cargo.toml`` default features include ``merlin-transcript``),
+height-48, 3 notes, TABLE_SIZE=1024, Poseidon x4, KZG10, SRS 2^20.
 """
 
 from __future__ import annotations
@@ -14,10 +15,21 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
+def transcript_factory(name: str):
+    """Resolve a transcript name to its factory (``instance.rs:17-20``)."""
+    from .transcript import EthereumTranscript
+    from .transcript.merlin import MerlinTranscript
+
+    try:
+        return {"ethereum": EthereumTranscript, "merlin": MerlinTranscript}[name]
+    except KeyError:
+        raise ValueError(f"unknown transcript {name!r} (ethereum|merlin)") from None
+
+
 @dataclass(frozen=True)
 class InstanceConfig:
     curve: str = "bn254"
-    transcript: str = "ethereum"  # "ethereum" | (merlin: future)
+    transcript: str = "merlin"  # "merlin" (reference default) | "ethereum"
     height: int = 48
     note_inputs: int = 3
     table_size: int = 1024

@@ -307,6 +307,153 @@ def _shift_one(spec, arr, shift, axis, axis_name, fill_row):
 
 
 # ---------------------------------------------------------------------------
+# sharded polynomial evaluation / synthetic division (round 5 + openings)
+# ---------------------------------------------------------------------------
+
+
+def _device_factor(spec: FieldSpec, xm, axis_name: str):
+    """xm^d for this device's index d (log2 D static squarings)."""
+    D = _axis_size(axis_name)
+    d = lax.axis_index(axis_name)
+    fac = jnp.zeros_like(xm).at[..., 0].set(1)
+    cur = xm
+    b = 0
+    while (1 << b) < D:
+        bit = (d >> b) & 1
+        fac = jnp.where(bit == 1, fd.mul(spec, fac, cur), fac)
+        cur = fd.mul(spec, cur, cur)
+        b += 1
+    return fac, cur  # cur == xm^(2^ceil(log2 D)) == xm^D for pow2 D
+
+
+def pshard_powers(spec: FieldSpec, x, m: int, axis_name: str):
+    """(x^(d*m + j))_{j<m} for this device d, plus x^n (n = D*m), replicated.
+
+    Returns (local_powers (m, L), x_n (L,)).
+    """
+    base = fd.powers(spec, x, m)  # (m, L) — identical on every device
+    xm = fd.mul(spec, base[m - 1], x)  # x^m
+    fac, xn = _device_factor(spec, xm, axis_name)
+    return fd.mul(spec, base, fac), xn
+
+
+def _tree_add(spec: FieldSpec, x, axis: int):
+    """Field add-reduce along ``axis`` (log depth)."""
+    k = x.shape[axis]
+    while k > 1:
+        half = (k + 1) // 2
+        lo = lax.slice_in_dim(x, 0, half, axis=axis)
+        hi = lax.slice_in_dim(x, half, k, axis=axis)
+        if hi.shape[axis] < half:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, half - hi.shape[axis])
+            hi = jnp.pad(hi, pad)
+        x = fd.add(spec, lo, hi)
+        k = half
+    return jnp.squeeze(x, axis=axis)
+
+
+def peval_many(
+    spec: FieldSpec, bodies, tails, x, axis_name: str = "poly"
+):
+    """Evaluate committed (body shard, replicated tail) polys at scalar x.
+
+    bodies: (B, m, L) shard of the n coefficient rows; tails: (B, 4, L)
+    replicated rows n..n+3.  Returns (B, L) replicated values.
+    """
+    m = bodies.shape[-2]
+    local_powers, xn = pshard_powers(spec, x, m, axis_name)
+    terms = fd.mul(spec, bodies, local_powers)
+    partial = _tree_add(spec, terms, axis=-2)  # (B, L) local
+    alls = lax.all_gather(partial, axis_name, axis=0)  # (D, B, L)
+    body_sum = _tree_add(spec, alls, axis=0)
+    tail_powers = jnp.stack(
+        [
+            xn,
+            fd.mul(spec, xn, x),
+            fd.mul(spec, fd.mul(spec, xn, x), x),
+            fd.mul(spec, fd.mul(spec, fd.mul(spec, xn, x), x), x),
+        ]
+    )  # (4, L) = x^n..x^(n+3)
+    tail_sum = _tree_add(spec, fd.mul(spec, tails, tail_powers), axis=-2)
+    return fd.add(spec, body_sum, tail_sum)
+
+
+def _local_suffix_sums(spec: FieldSpec, x, axis: int = -2):
+    """Inclusive suffix sums along ``axis`` (log-depth rolls)."""
+    n = x.shape[axis]
+    sh = [1] * x.ndim
+    sh[axis] = n
+    idx = jnp.arange(n).reshape(sh)
+    y = x
+    d = 1
+    while d < n:
+        shifted = jnp.roll(y, -d, axis=axis)
+        summed = fd.add(spec, y, shifted)
+        y = jnp.where(idx < n - d, summed, y)
+        d <<= 1
+    return y
+
+
+def pdivide_by_linear(
+    spec: FieldSpec, body, tail, x, x_inv, axis_name: str = "poly"
+):
+    """(P(X) - P(x)) / (X - x) for a committed (body, tail) polynomial.
+
+    Sharded analog of ``kzg.divide_by_linear``: q_i = x^{-(i+1)} Σ_{j>i}
+    c_j x^j over the GLOBAL n+4 coefficient axis.  For body row i the
+    cross-shard part of the suffix is a per-device offset (all_gather of
+    the D shard totals) plus the replicated tail total — no body exchange.
+
+    body: (m, L) shard; tail: (4, L) replicated.
+    Returns (q_body (m, L) shard, q_tail (4, L) replicated).
+    """
+    D = _axis_size(axis_name)
+    d = lax.axis_index(axis_name)
+    m = body.shape[-2]
+
+    pow_x, xn = pshard_powers(spec, x, m, axis_name)
+    u = fd.mul(spec, body, pow_x)  # c_j x^j (local rows)
+    local_suf = _local_suffix_sums(spec, u)  # (m, L)
+
+    # tail terms u_{n+j} and their suffix (replicated)
+    xpow = xn
+    tail_u = []
+    for j in range(4):
+        tail_u.append(fd.mul(spec, tail[j], xpow))
+        xpow = fd.mul(spec, xpow, x)
+    tail_u = jnp.stack(tail_u)  # (4, L)
+    tail_suf = _local_suffix_sums(spec, tail_u)  # inclusive
+    tail_total = tail_suf[0]
+
+    shard_total = local_suf[0]  # Σ over this shard
+    gathered = lax.all_gather(shard_total, axis_name, axis=0)  # (D, L)
+    gsuf = _local_suffix_sums(spec, gathered)  # (D, L) inclusive over devices
+    # offset_d = Σ_{d' > d} shard totals
+    gsuf_pad = jnp.concatenate([gsuf, fd.zeros(spec, (1,))], axis=0)
+    offset = lax.dynamic_index_in_dim(gsuf_pad, d + 1, axis=0, keepdims=False)
+
+    # exclusive global suffix at body row i: local_suf[i+1] + offset + tail_total
+    excl = jnp.concatenate([local_suf[1:], fd.zeros(spec, (1,))], axis=0)
+    excl = fd.add(spec, excl, fd.add(spec, offset, tail_total))
+
+    # x^{-(dm+j+1)} = x_inv^(dm+j) * x_inv
+    pow_xi, xin = pshard_powers(spec, x_inv, m, axis_name)
+    q_body = fd.mul(spec, fd.mul(spec, excl, pow_xi), x_inv)
+
+    # tail quotient rows (global n..n+3): excl suffix is within the tail;
+    # x^-(n+j+1) = x_inv^n * x_inv^(j+1)
+    tail_excl = jnp.concatenate([tail_suf[1:], fd.zeros(spec, (1,))], axis=0)
+    acc = fd.mul(spec, xin, x_inv)
+    rows = []
+    for j in range(4):
+        rows.append(fd.mul(spec, tail_excl[j], acc))
+        acc = fd.mul(spec, acc, x_inv)
+    q_tail = jnp.stack(rows)
+    return q_body, q_tail
+
+
+# ---------------------------------------------------------------------------
 # sharded MSM
 # ---------------------------------------------------------------------------
 

@@ -59,44 +59,11 @@ def _pifft_body_tail(spec, st, evals, blinders, axis_name):
     return coeffs, blinders
 
 
-def sharded_fused_core(
-    spec,
-    fq_spec,
-    fr_bits: int,
-    n: int,
-    msm_c: int,
-    msm_groups: int,
-    st: pops.ShardNttTables,
-    q4: ntt.Coset4Plan,
-    tables: Dict,
-    powers_body,  # (n, 3, L) shard of SRS powers[:n]
-    powers_tail,  # (4, 3, L) replicated powers[n:n+4]
-    b3,
-    wires,  # (3, m, L) shard
-    f,
-    t_evals,
-    h1,
-    h2,
-    pi_evals,
-    z_scalars,
-    q_scalars,
-    q_weights,
-    blinders_abc,
-    blinders_th,
-    blinders_z,
-    qblinders,
-    axis_name: str = AXIS,
+def _z_evals_sharded(
+    spec, tables, wires, f, t_evals, h1, h2, z_scalars, axis_name
 ):
-    """Rounds 1-4 device work, sharded.  Returns (window totals (11, W, 3, L)
-    replicated, q body shards (3, m, L), q tails (3, 4, L))."""
+    """Sharded z1/z2 grand-product EVALUATIONS (mirrors prover.z_round)."""
     one = fd.one(spec)
-    m = wires.shape[1]
-    th_evals = jnp.stack([t_evals, h1, h2])
-
-    # --- round 3 evals first: grand products (mirrors prover.z_round) ---
-    # z1/z2 depend only on EVALUATIONS, so all 9 iffts (wires, z, lookup,
-    # pi) batch into ONE sharded ifft below — one butterfly graph instead
-    # of four (compile time) and one set of collectives (runtime).
     a, b, c = wires[0], wires[1], wires[2]
     roots = tables["roots"]
     s1, s2, s3 = (tables["sigma"][i] for i in range(3))
@@ -151,23 +118,22 @@ def sharded_fused_core(
         0,
         axis_name,
     )
-    z_evals = pops.pprefix_products(spec, shifted, axis=1, axis_name=axis_name)
+    return pops.pprefix_products(spec, shifted, axis=1, axis_name=axis_name)
 
-    # --- rounds 1-3 iffts, batched: ONE sharded ifft over 9 rows --------
-    nine_evals = jnp.concatenate(
-        [wires, z_evals, th_evals, pi_evals[None]]
-    )  # (9, m, L) [a,b,c,z1,z2,t,h1,h2,pi]
-    nine_tail = jnp.concatenate(
-        [blinders_abc, blinders_z, blinders_th, jnp.zeros_like(blinders_abc[:1])]
-    )  # (9, 4, L) replicated
-    nine_body, nine_tail = _pifft_body_tail(
-        spec, st, nine_evals, nine_tail, axis_name
-    )
-    abc_body, abc_tail = nine_body[0:3], nine_tail[0:3]
-    z_body, z_tail = nine_body[3:5], nine_tail[3:5]
-    th_body, th_tail = nine_body[5:8], nine_tail[5:8]
 
-    # --- round 4: quotient (mirrors prover.quotient_round) --------------
+def _quotient_sharded(
+    spec, st, q4, tables, nine_body, nine_tail, q_scalars, q_weights,
+    qblinders, axis_name,
+):
+    """Sharded round-4 quotient (mirrors prover.quotient_round).
+
+    nine_body: (9, m, L) coefficient shards [a,b,c,z1,z2,t,h1,h2,pi];
+    nine_tail: (9, 4, L) replicated blinding tails.
+    Returns (q_body (3, m, L), q_tail (3, 4, L)).
+    """
+    one = fd.one(spec)
+    m = nine_body.shape[-2]
+    ad = lambda x, y: fd.add(spec, x, y)
     c4 = tables["coset"]
 
     # coset4_fft with the tail fold applied on device 0 (global rows 0..3)
@@ -285,10 +251,14 @@ def sharded_fused_core(
 
     q_body = jnp.stack([lo_body, mid_body, hi_body])  # (3, m, L)
     q_tail = jnp.stack([lo_tail, mid_tail, hi_tail])  # (3, 4, L)
+    return q_body, q_tail
 
-    # --- MSM commits: sharded bucket accumulation + collective reduce ---
-    all_bodies = jnp.concatenate([abc_body, th_body, z_body, q_body])  # (11, m, L)
-    all_tails = jnp.concatenate([abc_tail, th_tail, z_tail, q_tail])  # (11, 4, L)
+
+def _commit_totals_batch(
+    fq_spec, b3, powers_body, powers_tail, bodies, tails, fr_bits, msm_c,
+    msm_groups, axis_name,
+):
+    """Window totals for a batch of committed (body, tail) polynomials."""
 
     def one_commit(args):
         body, tail = args
@@ -297,7 +267,72 @@ def sharded_fused_core(
             c=msm_c, axis_name=axis_name, groups=msm_groups,
         )
 
-    totals = jax.lax.map(one_commit, (all_bodies, all_tails))  # (11, W, 3, L)
+    return jax.lax.map(one_commit, (bodies, tails))  # (B, W, 3, L)
+
+
+def sharded_fused_core(
+    spec,
+    fq_spec,
+    fr_bits: int,
+    n: int,
+    msm_c: int,
+    msm_groups: int,
+    st: pops.ShardNttTables,
+    q4: ntt.Coset4Plan,
+    tables: Dict,
+    powers_body,  # (n, 3, L) shard of SRS powers[:n]
+    powers_tail,  # (4, 3, L) replicated powers[n:n+4]
+    b3,
+    wires,  # (3, m, L) shard
+    f,
+    t_evals,
+    h1,
+    h2,
+    pi_evals,
+    z_scalars,
+    q_scalars,
+    q_weights,
+    blinders_abc,
+    blinders_th,
+    blinders_z,
+    qblinders,
+    axis_name: str = AXIS,
+):
+    """Rounds 1-4 device work, sharded.  Returns (window totals (11, W, 3, L)
+    replicated, q body shards (3, m, L), q tails (3, 4, L))."""
+    th_evals = jnp.stack([t_evals, h1, h2])
+
+    # z1/z2 depend only on EVALUATIONS, so all 9 iffts (wires, z, lookup,
+    # pi) batch into ONE sharded ifft — one butterfly graph instead of
+    # four (compile time) and one set of collectives (runtime).
+    z_evals = _z_evals_sharded(
+        spec, tables, wires, f, t_evals, h1, h2, z_scalars, axis_name
+    )
+    nine_evals = jnp.concatenate(
+        [wires, z_evals, th_evals, pi_evals[None]]
+    )  # (9, m, L) [a,b,c,z1,z2,t,h1,h2,pi]
+    nine_tail = jnp.concatenate(
+        [blinders_abc, blinders_z, blinders_th, jnp.zeros_like(blinders_abc[:1])]
+    )  # (9, 4, L) replicated
+    nine_body, nine_tail = _pifft_body_tail(
+        spec, st, nine_evals, nine_tail, axis_name
+    )
+    abc_body, abc_tail = nine_body[0:3], nine_tail[0:3]
+    z_body, z_tail = nine_body[3:5], nine_tail[3:5]
+    th_body, th_tail = nine_body[5:8], nine_tail[5:8]
+
+    q_body, q_tail = _quotient_sharded(
+        spec, st, q4, tables, nine_body, nine_tail, q_scalars, q_weights,
+        qblinders, axis_name,
+    )
+
+    # --- MSM commits: sharded bucket accumulation + collective reduce ---
+    all_bodies = jnp.concatenate([abc_body, th_body, z_body, q_body])  # (11, m, L)
+    all_tails = jnp.concatenate([abc_tail, th_tail, z_tail, q_tail])  # (11, 4, L)
+    totals = _commit_totals_batch(
+        fq_spec, b3, powers_body, powers_tail, all_bodies, all_tails,
+        fr_bits, msm_c, msm_groups, axis_name,
+    )
     return totals, q_body, q_tail
 
 
@@ -462,3 +497,480 @@ class ShardedProverCore:
                  "z_scalars", "q_scalars", "q_weights",
                  "blinders_abc", "blinders_th", "blinders_z", "qblinders"]
         return self._core(*statics, *[placed[k] for k in order])
+
+
+# ---------------------------------------------------------------------------
+# Full multi-chip prover (real Fiat-Shamir orchestration)
+# ---------------------------------------------------------------------------
+
+
+class ShardedProver:
+    """The COMPLETE 5-round prover over a device mesh — real transcript flow.
+
+    Round structure, challenges and blinding mirror
+    ``proof_system.prover.Prover.prove`` (reference ``prove.rs:59-483``)
+    exactly, so proofs are bit-identical to single-chip; every device
+    program is a ``shard_map`` with explicit collectives (domain sharding,
+    SURVEY.md §2.5 item 6).  Commitments cross to the host as replicated
+    MSM window totals; the host performs the tiny Horner window fold.
+
+    Programs (each jitted once per circuit size):
+      r12   — batched ifft of [a,b,c,t,h1,h2,pi] + blinding + 6 commit totals
+      z     — z1/z2 grand products + ifft + blinding + 2 commit totals
+      q     — interleaved 4n-coset quotient + splits + 3 commit totals
+      eval  — batched multi-point evaluation at xi / omega*xi
+      lin   — linearization combine (pure local)
+      open  — eta fold + sharded synthetic division + W commit totals
+    """
+
+    def __init__(self, prover, mesh: Mesh, axis_name: str = AXIS,
+                 msm_groups: int = 0):
+        from ..ops.msm import msm_window_size
+
+        self.prover = prover
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.D = mesh.devices.size
+        n = prover.n
+        assert n % self.D == 0, "circuit size must divide the mesh"
+        self.m = n // self.D
+        self.st_host = pops.build_shard_ntt_tables(prover.domain, self.D)
+        self.msm_c = msm_window_size(n + 4)
+        self.msm_groups = msm_groups
+        self._build_programs()
+        self._stage_statics()
+
+    # -- program construction -------------------------------------------
+
+    def _build_programs(self):
+        prover = self.prover
+        spec = prover.spec
+        fq_spec = prover.ctx.fq_spec
+        fr_bits = prover.ctx.curve.fr.modulus.bit_length()
+        axis = self.axis_name
+        msm_c, msm_groups = self.msm_c, self.msm_groups
+
+        sh = lambda *s: P(*s)
+        rep = P()
+        st_specs = pops.shard_ntt_specs(axis)
+        tables_specs = {
+            "coset": {k: sh(None, axis, None) for k in prover._tables["coset"]},
+            "x_coset": sh(None, axis, None),
+            "zh_inv": rep,
+            "l1": sh(None, axis, None),
+            "sigma": sh(None, axis, None),
+            "roots": sh(axis, None),
+            "pow4": sh(None, axis, None),
+            "ipow4": sh(None, axis, None),
+        }
+        q4_specs = ntt.Coset4Plan(pow4=rep, ipow4=rep, gn4=rep, mix=rep)
+        pw_specs = (sh(axis, None, None), rep, rep)  # powers_body/tail, b3
+        body = sh(None, axis, None)
+
+        def smap(fn, in_specs, out_specs):
+            return jax.jit(
+                jax.shard_map(
+                    fn, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False,
+                )
+            )
+
+        def commit(bodies, tails, powers_body, powers_tail, b3):
+            return _commit_totals_batch(
+                fq_spec, b3, powers_body, powers_tail, bodies, tails,
+                fr_bits, msm_c, msm_groups, axis,
+            )
+
+        # r12: one ifft over [a,b,c,t,h1,h2,pi] + 6 commit totals
+        def r12(st, powers_body, powers_tail, b3, wires, th, pi, bl_abc, bl_th):
+            evals = jnp.concatenate([wires, th, pi[None]])  # (7, m, L)
+            tails = jnp.concatenate(
+                [bl_abc, bl_th, jnp.zeros_like(bl_abc[:1])]
+            )
+            bodies, tails = _pifft_body_tail(spec, st, evals, tails, axis)
+            totals = commit(bodies[:6], tails[:6], powers_body, powers_tail, b3)
+            return bodies, tails, totals
+
+        self._r12 = smap(
+            r12,
+            (st_specs, *pw_specs, body, body, sh(axis, None), rep, rep),
+            (body, rep, rep),
+        )
+
+        # z round: grand products -> ifft -> 2 commit totals
+        def zr(st, tables, powers_body, powers_tail, b3,
+               wires, f, t, h1, h2, z_scalars, bl_z):
+            z_evals = _z_evals_sharded(
+                spec, tables, wires, f, t, h1, h2, z_scalars, axis
+            )
+            z_body, z_tail = _pifft_body_tail(spec, st, z_evals, bl_z, axis)
+            totals = commit(z_body, z_tail, powers_body, powers_tail, b3)
+            return z_body, z_tail, totals
+
+        self._zr = smap(
+            zr,
+            (st_specs, tables_specs, *pw_specs, body,
+             sh(axis, None), sh(axis, None), sh(axis, None), sh(axis, None),
+             rep, rep),
+            (body, rep, rep),
+        )
+
+        # quotient round: assemble nine, fused coset pass, splits, 3 commits
+        def qr(st, q4, tables, powers_body, powers_tail, b3,
+               seven_body, seven_tail, z_body, z_tail,
+               q_scalars, q_weights, qblinders):
+            nine_body = jnp.concatenate(
+                [seven_body[:3], z_body, seven_body[3:6], seven_body[6:7]]
+            )
+            nine_tail = jnp.concatenate(
+                [seven_tail[:3], z_tail, seven_tail[3:6], seven_tail[6:7]]
+            )
+            q_body, q_tail = _quotient_sharded(
+                spec, st, q4, tables, nine_body, nine_tail,
+                q_scalars, q_weights, qblinders, axis,
+            )
+            totals = commit(q_body, q_tail, powers_body, powers_tail, b3)
+            return q_body, q_tail, totals
+
+        self._qr = smap(
+            qr,
+            (st_specs, q4_specs, tables_specs, *pw_specs,
+             body, rep, body, rep, rep, rep, rep),
+            (body, rep, rep),
+        )
+
+        # round 5: batched evaluation at xi and omega*xi
+        def ev(bx, tx, bw, tw, xi, wxi):
+            return (
+                pops.peval_many(spec, bx, tx, xi, axis),
+                pops.peval_many(spec, bw, tw, wxi, axis),
+            )
+
+        self._ev = smap(
+            ev, (body, rep, body, rep, rep, rep), (rep, rep)
+        )
+
+        # linearization: r = sum scalars_i * poly_i (pure local)
+        def lin(bodies, tails, scalars):
+            rb = pops._tree_add(
+                spec, fd.mul(spec, bodies, scalars[:, None, :]), axis=0
+            )
+            rt = pops._tree_add(
+                spec, fd.mul(spec, tails, scalars[:, None, :]), axis=0
+            )
+            return rb, rt
+
+        self._lin = smap(lin, (body, rep, rep), (sh(axis, None), rep))
+
+        # opening: eta fold + sharded division + W commit totals
+        def opn(powers_body, powers_tail, b3, bodies, tails,
+                eta_powers, pt, pt_inv):
+            fb = pops._tree_add(
+                spec, fd.mul(spec, bodies, eta_powers[:, None, :]), axis=0
+            )
+            ft = pops._tree_add(
+                spec, fd.mul(spec, tails, eta_powers[:, None, :]), axis=0
+            )
+            qb, qt = pops.pdivide_by_linear(spec, fb, ft, pt, pt_inv, axis)
+            return pops.pcommit_totals(
+                fq_spec, b3, powers_body, powers_tail, qb, qt, fr_bits,
+                c=msm_c, axis_name=axis, groups=msm_groups,
+            )
+
+        self._opn = smap(
+            opn, (*pw_specs, body, rep, rep, rep, rep), rep
+        )
+
+    # -- static staging --------------------------------------------------
+
+    def _stage_statics(self):
+        prover = self.prover
+        mesh, axis = self.mesh, self.axis_name
+        ns = lambda *s: NamedSharding(mesh, P(*s))
+        rep = NamedSharding(mesh, P())
+        core = ShardedProverCore.__new__(ShardedProverCore)
+        core.prover = prover
+        core.mesh = mesh
+        core.axis_name = axis
+        core.st_host = self.st_host
+        (self._st, self._q4, self._tables, self._pwb, self._pwt,
+         self._b3) = core.device_args()
+        n = prover.n
+        # PK polynomials as committed (body shard, zero tail) pairs
+        self._pk_body = {
+            name: jax.device_put(prover.pk.polys[name], ns(axis, None))
+            for name in ("sigma1", "sigma2", "sigma3", "q_lookup", "q_table",
+                         "q_m", "q_l", "q_r", "q_o", "q_c")
+        }
+        self._zero_tail = jax.device_put(
+            jnp.zeros((4, prover.spec.n_limbs), jnp.uint32), rep
+        )
+        self._sh_body = ns(None, axis, None)
+        self._sh_row = ns(axis, None)
+        self._rep = rep
+
+    # -- host orchestration ----------------------------------------------
+
+    def _fold_totals(self, totals) -> list:
+        from ..ops import msm as msm_mod
+
+        arr = np.asarray(totals)
+        if arr.ndim == 3:
+            arr = arr[None]
+        Fq = self.prover.ctx.Fq
+        return [
+            msm_mod.fold_windows_host(self.prover.ctx.fq_spec, Fq, arr[i], self.msm_c)
+            for i in range(arr.shape[0])
+        ]
+
+    def prove(self, composer, transcript, rng):
+        """Bit-identical to ``Prover.prove`` over the mesh."""
+        from ..cs.composer import K1, K2
+        from ..cs.lookup import combine_split
+        from ..proof_system.proof import Proof, ProofEvaluations
+        from ..proof_system.prover import _blinders, _enc_vec
+
+        prover = self.prover
+        n, p, spec = prover.n, prover.p, prover.spec
+        composer.pad_to(n)
+        transcript.append_scalars("pi", composer.pi_values())
+
+        put_b = lambda x: jax.device_put(x, self._sh_body)
+        put_r = lambda x: jax.device_put(x, self._sh_row)
+        put = lambda x: jax.device_put(x, self._rep)
+
+        # --- round 1 + 2 ----------------------------------------------
+        a_ints, b_ints, c_ints = composer.wire_evals()
+        wires = put_b(jnp.asarray(np.stack(
+            [ints_to_array(col, spec.n_limbs) for col in (a_ints, b_ints, c_ints)]
+        )))
+        t_ints = prover.table.into_multiset(n)
+        ql = prover.epk.q_lookup_evals_host
+        f_ints = [(ql[i] * c_ints[i]) % p for i in range(n)]
+        h1_ints, h2_ints = combine_split(t_ints, f_ints)
+        h1_ints += [0] * (n - len(h1_ints))
+        h2_ints += [0] * (n - len(h2_ints))
+        th = put_b(jnp.asarray(np.stack(
+            [ints_to_array(col, spec.n_limbs) for col in (t_ints, h1_ints, h2_ints)]
+        )))
+        pi_evals = put_r(jnp.asarray(
+            ints_to_array(composer.pi_as_evals(n), spec.n_limbs)
+        ))
+        bl_abc = put(_blinders(spec, rng, p, [2, 2, 2]))
+        bl_th = put(_blinders(spec, rng, p, [0, 3, 2]))
+        seven_body, seven_tail, totals6 = self._r12(
+            self._st, self._pwb, self._pwt, self._b3, wires, th, pi_evals,
+            bl_abc, bl_th,
+        )
+        aff6 = self._fold_totals(totals6)  # [a, b, c, t, h1, h2]
+        transcript.append_commitment("a_commit", aff6[0])
+        transcript.append_commitment("b_commit", aff6[1])
+        transcript.append_commitment("c_commit", aff6[2])
+        transcript.append_commitment("t_commit", aff6[3])
+        transcript.append_commitment("h1_commit", aff6[4])
+        transcript.append_commitment("h2_commit", aff6[5])
+
+        # --- round 3 ---------------------------------------------------
+        beta = transcript.challenge_scalar("beta")
+        gamma = transcript.challenge_scalar("gamma")
+        delta = transcript.challenge_scalar("delta")
+        epsilon = transcript.challenge_scalar("epsilon")
+        assert len({beta, gamma, delta, epsilon}) == 4, "challenges must be different"
+        eps_1pd = epsilon * (1 + delta) % p
+        z_scalars = put(_enc_vec(
+            spec,
+            [beta, beta * K1 % p, beta * K2 % p, gamma, delta, eps_1pd,
+             (1 + delta) % p, epsilon],
+        ))
+        bl_z = put(_blinders(spec, rng, p, [3, 3]))
+        f_dev = put_r(jnp.asarray(ints_to_array(f_ints, spec.n_limbs)))
+        z_body, z_tail, totals2 = self._zr(
+            self._st, self._tables, self._pwb, self._pwt, self._b3,
+            wires, f_dev, th[0], th[1], th[2], z_scalars, bl_z,
+        )
+        aff2 = self._fold_totals(totals2)
+        transcript.append_commitment("z1_commit", aff2[0])
+        transcript.append_commitment("z2_commit", aff2[1])
+
+        # --- round 4 ---------------------------------------------------
+        alpha = transcript.challenge_scalar("alpha")
+        a2 = alpha * alpha % p
+        a3 = a2 * alpha % p
+        q_scalars = put(_enc_vec(
+            spec,
+            [beta, beta * K1 % p, beta * K2 % p, gamma, delta, epsilon, eps_1pd],
+        ))
+        q_weights = put(_enc_vec(
+            spec,
+            [alpha, alpha, a3 * (1 + delta) % p, a3, a2, a3 * alpha % p,
+             a3 * a2 % p],
+        ))
+        qblinders = put(_enc_vec(spec, [rng.randrange(p), rng.randrange(p)]))
+        q_body, q_tail, totals3 = self._qr(
+            self._st, self._q4, self._tables, self._pwb, self._pwt, self._b3,
+            seven_body, seven_tail, z_body, z_tail,
+            q_scalars, q_weights, qblinders,
+        )
+        aff3 = self._fold_totals(totals3)
+        transcript.append_commitment("q_lo_commit", aff3[0])
+        transcript.append_commitment("q_mid_commit", aff3[1])
+        transcript.append_commitment("q_hi_commit", aff3[2])
+
+        # --- round 5 ---------------------------------------------------
+        xi = transcript.challenge_scalar("xi")
+        omega = prover.domain.group_gen
+        wxi = xi * omega % p
+
+        zt = self._zero_tail
+        bx = jnp.stack([
+            seven_body[0], seven_body[1], seven_body[2],
+            self._pk_body["sigma1"], self._pk_body["sigma2"],
+            self._pk_body["q_lookup"], seven_body[3], seven_body[5],
+        ])
+        tx = jnp.stack([
+            seven_tail[0], seven_tail[1], seven_tail[2], zt, zt, zt,
+            seven_tail[3], seven_tail[5],
+        ])
+        bw = jnp.stack([z_body[0], seven_body[3], z_body[1], seven_body[4]])
+        tw = jnp.stack([z_tail[0], seven_tail[3], z_tail[1], seven_tail[4]])
+        ev_xi, ev_wxi = self._ev(
+            put_b(bx), put(tx), put_b(bw), put(tw),
+            put(_enc_vec(spec, [xi])[0]), put(_enc_vec(spec, [wxi])[0]),
+        )
+        ev_xi_i = spec.decode(np.asarray(ev_xi))
+        ev_wxi_i = spec.decode(np.asarray(ev_wxi))
+        evals = ProofEvaluations(
+            a=ev_xi_i[0], b=ev_xi_i[1], c=ev_xi_i[2],
+            sigma1=ev_xi_i[3], sigma2=ev_xi_i[4],
+            z1_next=ev_wxi_i[0], q_lookup=ev_xi_i[5],
+            t=ev_xi_i[6], t_next=ev_wxi_i[1], z2_next=ev_wxi_i[2],
+            h1_next=ev_wxi_i[3], h2=ev_xi_i[7],
+        )
+        for label, value in evals.transcript_items():
+            transcript.append_scalar(label, value)
+
+        zh_eval = (pow(xi, n, p) - 1) % p
+        l1_eval = zh_eval * pow(n * (xi - 1) % p, -1, p) % p
+        # linearization scalars — identical host algebra to the single-chip
+        # prover; the poly list maps to (body, tail) pairs here
+        scalars, poly_pairs = self._linearization_pairs(
+            evals, alpha, beta, gamma, delta, epsilon, xi, zh_eval, l1_eval,
+            seven_body, seven_tail, z_body, z_tail, q_body, q_tail,
+        )
+        lb = jnp.stack([bp for bp, _ in poly_pairs])
+        lt_ = jnp.stack([tp for _, tp in poly_pairs])
+        r_body, r_tail = self._lin(
+            put_b(lb), put(lt_), put(_enc_vec(spec, scalars))
+        )
+
+        # --- openings --------------------------------------------------
+        eta = transcript.challenge_scalar("eta")
+        aw_b = jnp.stack([
+            r_body,
+            seven_body[0], seven_body[1], seven_body[2],
+            self._pk_body["sigma1"], self._pk_body["sigma2"],
+            self._pk_body["q_lookup"], seven_body[3], seven_body[5],
+        ])
+        aw_t = jnp.stack([
+            r_tail, seven_tail[0], seven_tail[1], seven_tail[2],
+            zt, zt, zt, seven_tail[3], seven_tail[5],
+        ])
+        saw_b = jnp.stack([z_body[0], z_body[1], seven_body[3], seven_body[4]])
+        saw_t = jnp.stack([z_tail[0], z_tail[1], seven_tail[3], seven_tail[4]])
+
+        def open_one(bodies, tails, point):
+            B = bodies.shape[0]
+            from ..proof_system.prover import _powers_arr
+
+            eta_powers = put(_powers_arr(spec, eta, B, p))
+            pt = put(_enc_vec(spec, [point])[0])
+            pt_inv = put(_enc_vec(spec, [pow(point, -1, p)])[0])
+            totals = self._opn(
+                self._pwb, self._pwt, self._b3, put_b(bodies), put(tails),
+                eta_powers, pt, pt_inv,
+            )
+            return self._fold_totals(totals)[0]
+
+        aw_aff = open_one(aw_b, aw_t, xi)
+        saw_aff = open_one(saw_b, saw_t, wxi)
+
+        return Proof(
+            a_commit=aff6[0], b_commit=aff6[1], c_commit=aff6[2],
+            t_commit=aff6[3], h1_commit=aff6[4], h2_commit=aff6[5],
+            z1_commit=aff2[0], z2_commit=aff2[1],
+            q_lo_commit=aff3[0], q_mid_commit=aff3[1], q_hi_commit=aff3[2],
+            aw_opening=aw_aff, saw_opening=saw_aff, evaluations=evals,
+        )
+
+    def _linearization_pairs(
+        self, ev, alpha, beta, gamma, delta, epsilon, xi, zh_eval, l1_eval,
+        seven_body, seven_tail, z_body, z_tail, q_body, q_tail,
+    ):
+        """Same scalars as ``Prover._linearization_terms``; polys as
+        (body, tail) pairs."""
+        prover = self.prover
+        p = prover.p
+        zt = self._zero_tail
+        pk = self._pk_body
+
+        scalars = [ev.a * ev.b % p, ev.a, ev.b, ev.c, 1]
+        pairs = [
+            (pk["q_m"], zt), (pk["q_l"], zt), (pk["q_r"], zt),
+            (pk["q_o"], zt), (pk["q_c"], zt),
+        ]
+
+        from ..cs.composer import K1, K2
+
+        beta_xi = beta * xi % p
+        z1_scalar = (
+            alpha
+            * ((beta_xi + ev.a + gamma) % p)
+            * ((beta_xi * K1 + ev.b + gamma) % p)
+            * ((beta_xi * K2 + ev.c + gamma) % p)
+            + l1_eval * alpha * alpha
+        ) % p
+        scalars.append(z1_scalar)
+        pairs.append((z_body[0], z_tail[0]))
+
+        sigma3_scalar = (
+            -alpha
+            * beta
+            * ev.z1_next
+            * ((beta * ev.sigma1 + ev.a + gamma) % p)
+            * ((beta * ev.sigma2 + ev.b + gamma) % p)
+        ) % p
+        scalars.append(sigma3_scalar)
+        pairs.append((pk["sigma3"], zt))
+
+        alpha_cu = pow(alpha, 3, p)
+        alpha_qu = pow(alpha, 4, p)
+        one_plus_delta = (1 + delta) % p
+        eps_1pd = epsilon * one_plus_delta % p
+        z2_scalar = (
+            alpha_cu
+            * one_plus_delta
+            * ((epsilon + ev.q_lookup * ev.c) % p)
+            * ((eps_1pd + ev.t + delta * ev.t_next) % p)
+            + alpha_qu * l1_eval
+        ) % p
+        scalars.append(z2_scalar)
+        pairs.append((z_body[1], z_tail[1]))
+
+        h1_scalar = (
+            -alpha_cu * ev.z2_next * ((eps_1pd + ev.h2 + delta * ev.h1_next) % p)
+        ) % p
+        scalars.append(h1_scalar)
+        pairs.append((seven_body[4], seven_tail[4]))
+
+        scalars.append(alpha_qu * alpha % p * ev.t % p)
+        pairs.append((pk["q_table"], zt))
+
+        xi_n2 = (zh_eval + 1) * xi * xi % p
+        scalars.append((-zh_eval) % p)
+        pairs.append((q_body[0], q_tail[0]))
+        scalars.append((-zh_eval) * xi_n2 % p)
+        pairs.append((q_body[1], q_tail[1]))
+        scalars.append((-zh_eval) * xi_n2 % p * xi_n2 % p)
+        pairs.append((q_body[2], q_tail[2]))
+
+        return scalars, pairs

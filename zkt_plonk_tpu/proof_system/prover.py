@@ -533,8 +533,8 @@ class Prover:
             # scheme-dispatched (reference ``PC::open``): KZG folds + divides
             # on device and commits one W point; IPA runs the log-round
             # folding argument on the eta-aggregated polynomial.
-            aw_aff = self.scheme.open_batch(self, aw_polys, xi, None, eta, b"aw")
-            saw_aff = self.scheme.open_batch(self, saw_polys, wxi, None, eta, b"saw")
+            aw_aff = self.scheme.open_batch(self, aw_polys, xi, eta, b"aw")
+            saw_aff = self.scheme.open_batch(self, saw_polys, wxi, eta, b"saw")
 
         return Proof(
             a_commit=abc_aff[0],
