@@ -48,7 +48,8 @@ def median_time(fn, reps=5, inner=1, floor=0.0):
         t0 = time.perf_counter()
         sync(fn())
         ts.append(time.perf_counter() - t0)
-    return max(0.0, (statistics.median(ts) - floor)) / inner
+    # floor can exceed a tiny measurement when the relay is sluggish
+    return max(1e-9, (statistics.median(ts) - floor)) / inner
 
 
 def relay_floor():
@@ -175,32 +176,11 @@ def main():
         "vs_baseline": None,
         "detail": dict(detail),
     }
+    # the fallback is NOT printed eagerly: the driver parses the FIRST
+    # JSON line on stdout, so an early fallback would mask the withdraw
+    # headline.  The global watchdog above emits it if the budget runs out.
+    state["fallback"] = fallback
     if not quick:
-        # Emit the fallback pipeline metric line NOW: a cold withdraw
-        # section can take many minutes (remote TPU compiles don't
-        # reliably hit the persistent cache) and an external harness
-        # timeout of unknown size may kill this process mid-way.  With
-        # this line already on stdout the run records a valid metric
-        # regardless; on success the final line below reports the
-        # withdraw headline (harness convention: last line wins, and a
-        # killed run still has the first).
-        print(json.dumps(fallback), flush=True)
-
-        # WATCHDOG for a clean in-process exit at a known budget.
-        import threading
-
-        budget = int(os.environ.get("ZKT_BENCH_WITHDRAW_BUDGET_S", "780"))
-        done = threading.Event()
-
-        def _bail():
-            if done.is_set():
-                return
-            log(f"withdraw section exceeded {budget}s budget — fallback stands")
-            os._exit(0)
-
-        watchdog = threading.Timer(budget, _bail)
-        watchdog.daemon = True
-        watchdog.start()
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from bench_withdraw import build
         from zkt_plonk_tpu.plonk import CompiledCircuit, ZKTPlonk
@@ -276,8 +256,8 @@ def main():
             times.append(time.perf_counter() - t0)
         warm = min(times)
         inst.verify(compiled, proof, pub_inputs)
-        done.set()
-        watchdog.cancel()
+        state["done"] = True
+        global_watchdog.cancel()
         log(f"prove (warm): {warm:.2f}s; verify OK")
         detail["withdraw_prove_cold_s"] = round(cold, 1)
         detail["withdraw_prove_warm_s"] = round(warm, 3)
@@ -291,6 +271,8 @@ def main():
         metric = fallback["metric"]
         unit = fallback["unit"]
 
+    state["done"] = True
+    global_watchdog.cancel()
     print(json.dumps({
         "metric": metric,
         "value": value,

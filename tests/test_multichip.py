@@ -327,7 +327,7 @@ def test_sharded_full_prove_bit_identical(mesh):
     from zkt_plonk_tpu.proof_system.prover import Prover
 
     prover = Prover(compiled.ck, compiled.pk, compiled.epk, compiled.vk, table)
-    sp = ShardedProver(prover, mesh)
+    sp = ShardedProver(prover, mesh, msm_groups=2)
     cs = ConstraintSystem(inst.p, setup=False, lookup_table=table)
     TinyCircuit().synthesize(cs)
     transcript = EthereumTranscript(TRANSCRIPT_LABEL)
@@ -344,3 +344,104 @@ def test_sharded_full_prove_bit_identical(mesh):
         proof2, p.curve.fq.modulus, p.curve.fr.modulus
     )
     assert b1 == b2
+
+
+def test_batch_prover_data_axis(mesh):
+    """Config #5 groundwork (BASELINE.json): k=2 independent proofs over a
+    (data=2, poly=4) mesh — each row a full ShardedProver pipeline; both
+    proofs verify and match the single-chip prover byte-for-byte."""
+    import random as _random
+
+    from zkt_plonk_tpu.commitment import kzg
+    from zkt_plonk_tpu.cs import ConstraintSystem, LookupTable, lt
+    from zkt_plonk_tpu.parallel.batch import BatchProver
+    from zkt_plonk_tpu.plonk import TRANSCRIPT_LABEL, ZKTPlonk
+    from zkt_plonk_tpu.proof_system.prover import Prover
+    from zkt_plonk_tpu.transcript import EthereumTranscript
+
+    table = LookupTable([1, 2, 5], size=63)
+    inst = ZKTPlonk(curve="bn254", table=table)
+
+    class C:
+        def __init__(self, a, b):
+            self.a, self.b = a, b
+
+        def synthesize(self, cs):
+            a = cs.assign_variable(self.a)
+            b = cs.assign_variable(self.b)
+            c = cs.mul_gate(lt(a), lt(b))
+            d = cs.add_gate(lt(c), lt(a))
+            cs.set_variable_public(lt(d))
+            cs.lookup_constrain(lt(a))
+
+    ck, cvk = kzg.setup(inst.ctx, max_degree=4 * 64, tau=42424242)
+    compiled = inst.compile(C(2, 5), ck, cvk)
+    prover = Prover(compiled.ck, compiled.pk, compiled.epk, compiled.vk, table)
+
+    mesh2d = Mesh(mesh.devices.reshape(2, 4), ("data", "poly"))
+    bp = BatchProver(prover, mesh2d, msm_groups=2)
+
+    witnesses = [C(2, 5), C(1, 5)]
+    pubs = [[12], [6]]
+    composers, transcripts, rngs = [], [], []
+    for i, w in enumerate(witnesses):
+        cs = ConstraintSystem(inst.p, setup=False, lookup_table=table)
+        w.synthesize(cs)
+        t = EthereumTranscript(TRANSCRIPT_LABEL)
+        compiled.vk.seed_transcript(t)
+        composers.append(cs.proving)
+        transcripts.append(t)
+        rngs.append(_random.Random(100 + i))
+
+    proofs = bp.prove_batch(composers, transcripts, rngs)
+    for proof, pi in zip(proofs, pubs):
+        inst.verify(compiled, proof, pi)
+
+    # byte parity vs single chip at the same seeds
+    from zkt_plonk_tpu.utils import arkserde
+
+    for i, w in enumerate(witnesses):
+        ref = inst.prove(compiled, w, rng=_random.Random(100 + i))
+        fq, fr = inst.ctx.curve.fq.modulus, inst.ctx.curve.fr.modulus
+        assert arkserde.proof_to_bytes(proofs[i], fq, fr) == \
+            arkserde.proof_to_bytes(ref, fq, fr)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZKT_RUN_SLOW"),
+    reason="larger-n shard-boundary parity: extra full compile of the "
+    "sharded core at a second shape (~10 min cold on 2-core CPU); "
+    "set ZKT_RUN_SLOW=1",
+)
+def test_sharded_fused_core_parity_large(mesh):
+    """Shard-boundary logic (_patch_rows, quotient split rolls) at a
+    non-toy size: n=1024, m=128 rows/device."""
+    import __graft_entry__ as ge
+    from zkt_plonk_tpu.parallel.prover import ShardedProverCore
+
+    prover, args = ge._build_tiny_prover(table_size=1023)
+    n = prover.n
+    assert n == 1024
+
+    statics1 = (prover._plan, prover._q4, prover._tables,
+                prover.ck.powers, prover.ck.b3)
+    commits1, q_polys1 = jax.jit(prover._fused_core)(*statics1, **args)
+
+    core = ShardedProverCore(prover, mesh)
+    statics = core.device_args()
+    totals, q_body, q_tail = core.run(statics, args)
+
+    q2 = np.concatenate([np.asarray(q_body), np.asarray(q_tail)], axis=1)
+    np.testing.assert_array_equal(q2, np.asarray(q_polys1))
+
+    fq_spec = prover.ctx.fq_spec
+    Fq = prover.ctx.Fq
+    want = ec.to_affine_host(fq_spec, np.asarray(commits1))
+    tot_np = np.asarray(totals)
+    got = [
+        msm.fold_windows_host(fq_spec, Fq, tot_np[i], core.msm_c)
+        for i in range(tot_np.shape[0])
+    ]
+    for i, (w, g) in enumerate(zip(want, got)):
+        w2 = None if w is None else (int(w[0]), int(w[1]))
+        assert w2 == g, f"commit {i} mismatch"

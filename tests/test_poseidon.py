@@ -83,3 +83,20 @@ def test_full_buffer_rejected():
     h.input(2)
     with pytest.raises(FullBufferError):
         h.input(3)
+
+
+def test_device_poseidon_matches_host():
+    """Vectorized device Poseidon (``hashing/poseidon/device.py``) is
+    bit-identical to the host schedule for a batch of hashes."""
+    from zkt_plonk_tpu.hashing import Poseidon, bn254_constants
+    from zkt_plonk_tpu.hashing.poseidon.device import hash_batch_device
+
+    for width in (3, 4):
+        c = bn254_constants(width)
+        arity = width - 1
+        rows = [
+            [i * 17 + j + 1 for j in range(arity)] for i in range(6)
+        ] + [[5]]  # one short (zero-padded) row
+        want = Poseidon.hash_many_native(c, rows)
+        got = hash_batch_device(c, rows)
+        assert got == want, f"width {width}"

@@ -29,6 +29,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields import device as fd
+from ..fields.limbs import ints_to_array
 from ..ops import msm as msm_mod
 from ..ops import ntt
 from . import ops as pops
@@ -650,35 +651,45 @@ class ShardedProver:
             ev, (body, rep, body, rep, rep, rep), (rep, rep)
         )
 
-        # linearization: r = sum scalars_i * poly_i (pure local)
-        def lin(bodies, tails, scalars):
-            rb = pops._tree_add(
-                spec, fd.mul(spec, bodies, scalars[:, None, :]), axis=0
+        # round 5 tail as ONE program: linearization combine + BOTH batch
+        # openings (aw at xi over [r, 8 polys], saw at omega*xi over 4) +
+        # their W commits.  Merged to cut the XLA compile count (the lin
+        # scalars and eta are both known once the evals hit the transcript).
+        def opn(powers_body, powers_tail, b3,
+                lin_bodies, lin_tails, lin_scalars,
+                aw_bodies, aw_tails, saw_bodies, saw_tails,
+                eta_aw, eta_saw, xi_pt, xi_inv, wxi_pt, wxi_inv):
+            r_body = pops._tree_add(
+                spec, fd.mul(spec, lin_bodies, lin_scalars[:, None, :]), axis=0
             )
-            rt = pops._tree_add(
-                spec, fd.mul(spec, tails, scalars[:, None, :]), axis=0
+            r_tail = pops._tree_add(
+                spec, fd.mul(spec, lin_tails, lin_scalars[:, None, :]), axis=0
             )
-            return rb, rt
 
-        self._lin = smap(lin, (body, rep, rep), (sh(axis, None), rep))
+            def fold_open(bodies, tails, eta_powers, pt, pt_inv):
+                fb = pops._tree_add(
+                    spec, fd.mul(spec, bodies, eta_powers[:, None, :]), axis=0
+                )
+                ft = pops._tree_add(
+                    spec, fd.mul(spec, tails, eta_powers[:, None, :]), axis=0
+                )
+                qb, qt = pops.pdivide_by_linear(spec, fb, ft, pt, pt_inv, axis)
+                return pops.pcommit_totals(
+                    fq_spec, b3, powers_body, powers_tail, qb, qt, fr_bits,
+                    c=msm_c, axis_name=axis, groups=msm_groups,
+                )
 
-        # opening: eta fold + sharded division + W commit totals
-        def opn(powers_body, powers_tail, b3, bodies, tails,
-                eta_powers, pt, pt_inv):
-            fb = pops._tree_add(
-                spec, fd.mul(spec, bodies, eta_powers[:, None, :]), axis=0
-            )
-            ft = pops._tree_add(
-                spec, fd.mul(spec, tails, eta_powers[:, None, :]), axis=0
-            )
-            qb, qt = pops.pdivide_by_linear(spec, fb, ft, pt, pt_inv, axis)
-            return pops.pcommit_totals(
-                fq_spec, b3, powers_body, powers_tail, qb, qt, fr_bits,
-                c=msm_c, axis_name=axis, groups=msm_groups,
-            )
+            aw_b = jnp.concatenate([r_body[None], aw_bodies])
+            aw_t = jnp.concatenate([r_tail[None], aw_tails])
+            t_aw = fold_open(aw_b, aw_t, eta_aw, xi_pt, xi_inv)
+            t_saw = fold_open(saw_bodies, saw_tails, eta_saw, wxi_pt, wxi_inv)
+            return jnp.stack([t_aw, t_saw])
 
         self._opn = smap(
-            opn, (*pw_specs, body, rep, rep, rep, rep), rep
+            opn,
+            (*pw_specs, body, rep, rep, body, rep, body, rep,
+             rep, rep, rep, rep, rep, rep),
+            rep,
         )
 
     # -- static staging --------------------------------------------------
@@ -859,40 +870,34 @@ class ShardedProver:
         )
         lb = jnp.stack([bp for bp, _ in poly_pairs])
         lt_ = jnp.stack([tp for _, tp in poly_pairs])
-        r_body, r_tail = self._lin(
-            put_b(lb), put(lt_), put(_enc_vec(spec, scalars))
-        )
 
-        # --- openings --------------------------------------------------
+        # --- openings (one merged program: lin + aw + saw) -------------
         eta = transcript.challenge_scalar("eta")
-        aw_b = jnp.stack([
-            r_body,
+        from ..proof_system.prover import _powers_arr
+
+        aw_rest_b = jnp.stack([
             seven_body[0], seven_body[1], seven_body[2],
             self._pk_body["sigma1"], self._pk_body["sigma2"],
             self._pk_body["q_lookup"], seven_body[3], seven_body[5],
         ])
-        aw_t = jnp.stack([
-            r_tail, seven_tail[0], seven_tail[1], seven_tail[2],
+        aw_rest_t = jnp.stack([
+            seven_tail[0], seven_tail[1], seven_tail[2],
             zt, zt, zt, seven_tail[3], seven_tail[5],
         ])
         saw_b = jnp.stack([z_body[0], z_body[1], seven_body[3], seven_body[4]])
         saw_t = jnp.stack([z_tail[0], z_tail[1], seven_tail[3], seven_tail[4]])
 
-        def open_one(bodies, tails, point):
-            B = bodies.shape[0]
-            from ..proof_system.prover import _powers_arr
-
-            eta_powers = put(_powers_arr(spec, eta, B, p))
-            pt = put(_enc_vec(spec, [point])[0])
-            pt_inv = put(_enc_vec(spec, [pow(point, -1, p)])[0])
-            totals = self._opn(
-                self._pwb, self._pwt, self._b3, put_b(bodies), put(tails),
-                eta_powers, pt, pt_inv,
-            )
-            return self._fold_totals(totals)[0]
-
-        aw_aff = open_one(aw_b, aw_t, xi)
-        saw_aff = open_one(saw_b, saw_t, wxi)
+        totals_open = self._opn(
+            self._pwb, self._pwt, self._b3,
+            put_b(lb), put(lt_), put(_enc_vec(spec, scalars)),
+            put_b(aw_rest_b), put(aw_rest_t), put_b(saw_b), put(saw_t),
+            put(_powers_arr(spec, eta, 9, p)), put(_powers_arr(spec, eta, 4, p)),
+            put(_enc_vec(spec, [xi])[0]),
+            put(_enc_vec(spec, [pow(xi, -1, p)])[0]),
+            put(_enc_vec(spec, [wxi])[0]),
+            put(_enc_vec(spec, [pow(wxi, -1, p)])[0]),
+        )
+        aw_aff, saw_aff = self._fold_totals(totals_open)
 
         return Proof(
             a_commit=aff6[0], b_commit=aff6[1], c_commit=aff6[2],
