@@ -108,3 +108,30 @@ def test_fixed_base_msm(bn254):
             assert g is None
         else:
             assert (int(g[0]), int(g[1])) == (int(e[0]), int(e[1]))
+
+
+def test_signed_window_digits_reconstruct(bn254):
+    """Signed recode must satisfy sum_w (+-mag_w) * 2^(c*w) == scalar."""
+    import jax.numpy as jnp
+    from zkt_plonk_tpu.fields.limbs import ints_to_array
+
+    ctx = bn254
+    fr = ctx.curve.fr.modulus
+    fr_bits = fr.bit_length()
+    import random as _r
+
+    rng = _r.Random(5)
+    scalars = [0, 1, fr - 1, fr // 2] + [rng.randrange(fr) for _ in range(32)]
+    sc = jnp.asarray(ints_to_array(scalars, ctx.fr_spec.n_limbs))
+    for c in (5, 6, 7, 8):
+        mags, negs = msm.signed_window_digits(sc, c, fr_bits)
+        m = np.asarray(mags).astype(np.int64)
+        s = np.asarray(negs)
+        half = 1 << (c - 1)
+        assert m.max() <= half
+        digits = np.where(s, -m, m)
+        recon = [
+            int(sum(int(digits[w, i]) << (c * w) for w in range(digits.shape[0])))
+            for i in range(len(scalars))
+        ]
+        assert recon == scalars, f"c={c}"

@@ -99,3 +99,37 @@ def test_pallas_padding_and_batch_dims():
 def test_dispatch_disabled_on_cpu():
     """On the CPU test backend fd.mul must stay on the jnp path."""
     assert not fp.use_pallas()
+
+
+def test_mul2_fused_pair_matches_ints():
+    """(a*b + c*d) mod p via the shared-reduction primitive."""
+    spec = make_spec(BN254_FR)
+    p = spec.modulus
+    L = spec.n_limbs
+    rng = random.Random(99)
+    n = 128
+    mk = lambda seed_edge: [seed_edge] + [rng.randrange(p) for _ in range(n - 1)]
+    a_i, b_i = mk(p - 1), mk(p - 1)
+    c_i, d_i = mk(p - 1), mk(p - 1)
+    lm = lambda v: jnp.asarray(ints_to_array(v, L)).T  # (L, n) limb-major
+    p_arr = jnp.asarray(np.asarray(spec.modulus_limbs, np.uint32)[:, None])
+    fold = fp.fold_const(spec)
+    out = fp._mul2_lm(lm(a_i), lm(b_i), lm(c_i), lm(d_i), p_arr, fold, L)
+    got = array_to_ints(np.asarray(out).T)
+    want = [(a * b + c * d) % p for a, b, c, d in zip(a_i, b_i, c_i, d_i)]
+    assert got == want
+
+
+@pytest.mark.parametrize("v", [1, 3, 9, 12, 15])
+def test_small_mul_matches_ints(v):
+    spec = make_spec(BN254_FR)
+    p = spec.modulus
+    L = spec.n_limbs
+    rng = random.Random(7)
+    vals = [0, 1, p - 1, (p - 1) // 3] + [rng.randrange(p) for _ in range(60)]
+    lm = jnp.asarray(ints_to_array(vals, L)).T
+    p_arr = jnp.asarray(np.asarray(spec.modulus_limbs, np.uint32)[:, None])
+    fold = fp.fold_const(spec)
+    out = fp._small_mul_lm(lm, v, p_arr, fold, L)
+    got = array_to_ints(np.asarray(out).T)
+    assert got == [x * v % p for x in vals]

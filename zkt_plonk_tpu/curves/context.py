@@ -53,6 +53,11 @@ class CurveCtx:
 @lru_cache(maxsize=None)
 def make_context(name: str) -> CurveCtx:
     curve = get_curve(name)
+    # let the fused EC kernel specialize its 3b multiply even when keys
+    # arrive deserialized (b3_const never called for this process)
+    from ..ops import ec_pallas
+
+    ec_pallas.register_b3(make_spec(curve.fq), (3 * curve.b) % curve.fq.modulus)
     return CurveCtx(
         curve=curve,
         Fq=make_field(curve.fq),

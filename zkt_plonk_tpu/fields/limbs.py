@@ -100,6 +100,41 @@ class FieldSpec:
 
 
 @lru_cache(maxsize=None)
+def fold_limbs(spec: "FieldSpec") -> np.ndarray:
+    """Flat constant block for the fold-based modular reduction.
+
+    Layout (all 16-bit limbs in uint32, length ``L*L + 4``):
+      rows ``i*L .. i*L+L-1``: limbs of ``C_i = 2^(16*(L+i)) mod p`` — the
+        fold table that reduces the high half of a double-width product by
+        ``t mod p = t_lo + sum_i t_hi[i] * C_i`` (one regular L x L
+        constant product instead of the (L+1) x (L+1) Barrett mu product);
+      rows ``L*L .. L*L+3``: limbs of ``mu3 = floor(2^(16*(L+2)) / p)`` —
+        the small-quotient Barrett constant for the folded value
+        ``V < 2^(16*(L+2))``: with ``w = floor(V / 2^(16*(L-2)))`` (4
+        limbs), ``qhat = floor(w * mu3 / 2^64)`` satisfies
+        ``q-2 <= qhat <= q = floor(V/p)``, so two conditional
+        subtractions restore canonical form.
+
+    Every shape is a function of L alone (V fits L+2 limbs because
+    ``L*2^16*p + 2^(16L) < 2^(16(L+2))`` for any L >= 2 with p using the
+    top limb), so kernels need no extra static metadata.
+    """
+    L = spec.n_limbs
+    p = spec.modulus
+    rows = [(1 << (LIMB_BITS * (L + i))) % p for i in range(L)]
+    # correctness guards for the bounds baked into the kernels
+    v_max = (1 << (LIMB_BITS * L)) - 1 + ((1 << LIMB_BITS) - 1) * sum(rows)
+    assert v_max < 1 << (LIMB_BITS * (L + 2)), "fold V exceeds L+2 limbs"
+    assert v_max // p < 1 << (2 * LIMB_BITS), "fold quotient exceeds 2 limbs"
+    mu3 = (1 << (LIMB_BITS * (L + 2))) // p
+    assert mu3 < 1 << (4 * LIMB_BITS), "mu3 exceeds 4 limbs"
+    flat = np.concatenate(
+        [int_to_limbs(c, L) for c in rows] + [int_to_limbs(mu3, 4)]
+    )
+    return np.ascontiguousarray(flat, dtype=np.uint32)
+
+
+@lru_cache(maxsize=None)
 def make_spec(params: FieldParams) -> FieldSpec:
     p = params.modulus
     n_limbs = -(-p.bit_length() // LIMB_BITS)

@@ -172,37 +172,111 @@ def _bcast_const(c, like, rows):
     return jnp.broadcast_to(c2, like.shape[:-2] + (rows, like.shape[-1]))
 
 
-def _barrett_mul_lm(a, b, p_arr, mu, L):
-    """Full Barrett modmul on limb-major (..., L, B) tiles (canonical in).
+def _barrett_mul_lm(a, b, p_arr, fold, L):
+    """Full modmul on limb-major (..., L, B) tiles (canonical in).
 
-    Word-aligned Barrett (HAC 14.42 with beta^L words): with
-    mu = floor(beta^{2L}/p) and t_hi = floor(t/beta^{L-1}), the exact
-    qhat = floor(t_hi*mu/beta^{L+1}) satisfies q-2 <= qhat <= q=floor(t/p),
-    so r = t - qhat*p < 3p and TWO conditional subtractions restore
-    canonical form.
+    Fold-then-small-Barrett reduction (replaces the word-aligned Barrett
+    mu product of r3 — measured slower: its (L+1)x(L+1) estimator plus
+    LxL back-multiply cost ~440 u32 muls per element vs ~300 here):
 
-    NOTE on truncation: restricting the mu-product to columns >= L-1 (the
-    mathematically sufficient window, at the cost of one more cond-sub)
-    was MEASURED SLOWER on v5e — Mosaic pads sublane groups to 8 anyway,
-    so sliced small-row products save nothing while the irregular shapes
-    defeat op fusion (field mul 0.18 -> 0.15 G/s, MSM 2^14 185 -> 275 ms).
-    Keep the regular full-width products.
+      1. t = a*b, carry-propagated to 2L limbs;
+      2. FOLD: V = t_lo + sum_i t_hi[i] * C_i with C_i = beta^{L+i} mod p
+         (``fold`` rows, see ``limbs.fold_limbs``) — an LxL product with
+         NO diagonal shifts (every partial lands at offset 0/1), so the
+         accumulation is two dense row sums; V == t (mod p), V < beta^{L+2};
+      3. SMALL QUOTIENT: w = top 4 limbs of V, qhat = floor(w*mu3/beta^4)
+         with mu3 = floor(beta^{L+2}/p); q-2 <= qhat <= q = floor(V/p);
+      4. r = V - qhat*p (< 3p), two conditional subtractions.
+
+    NOTE on truncation (r3, still applies): sliced irregular column
+    windows defeat Mosaic fusion; every product here is full-width and
+    regular.
     """
     a, b = jnp.broadcast_arrays(a, b)
-    t = _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L)
-    t_hi = t[..., L - 1 :, :]  # (..., L+1, B)
-    prod2 = _carry_propagate(
-        _mul_columns(t_hi, _bcast_const(mu, a, L + 1), 2 * L + 2), 2 * L + 2
+    return _reduce_2l(
+        _carry_propagate(_mul_columns(a, b, 2 * L), 2 * L), p_arr, fold, L
     )
-    qhat = prod2[..., L + 1 : 2 * L + 1, :]  # (..., L, B)
+
+
+def _mul2_lm(a, b, c, d, p_arr, fold, L):
+    """(a*b + c*d) mod p with ONE shared reduction.
+
+    The raw column sums of the two schoolbook products add directly
+    (each column < L*2^17, so the sum stays far below 2^32), and the fold
+    bound in ``_reduce_2l`` is per-limb worst-case — it covers any 2L-limb
+    t, including t = a*b + c*d < 2p^2 < beta^{2L}.  Saves one full
+    reduction (~300 u32 muls + 3 carry chains) per pair vs two muls + add.
+    """
+    cols = _mul_columns(a, b, 2 * L) + _mul_columns(c, d, 2 * L)
+    return _reduce_2l(_carry_propagate(cols, 2 * L), p_arr, fold, L)
+
+
+def _small_mul_lm(x, v, p_arr, fold, L):
+    """x * v mod p for a small STATIC constant v (1 <= v < 16), x canonical.
+
+    The product is a shift-add over v's set bits (column sums < 2^21), and
+    t = v*x < 16p gets a 1-limb-quotient Barrett tail: q = floor(t/p) < 16
+    is estimated from the top 3 limbs with the same mu3 constant as the
+    full reduction (q-2 <= qhat <= q, two conditional subtractions).
+    ~30 u32 muls instead of ~560 for a generic field mul — used for the
+    curve constant 3b (9 / 12 / 3 on bn254 / bls12-381 / bls12-377).
+    """
+    assert 1 <= v < 16
+    cols = None
+    for bit in range(4):
+        if (v >> bit) & 1:
+            term = x << bit
+            cols = term if cols is None else cols + term
+    t = _carry_propagate(cols, L + 1)  # v*x < 16p < beta^(L+1)
+    w = t[..., L - 2 :, :]  # (..., 3, B): floor(t / beta^(L-2)) < 2^36
+    mu3 = _bcast_const(fold[L * L : L * L + 4], x, 4)
+    m = _carry_propagate(_mul_columns(w, mu3, 7), 7)
+    qhat = m[..., 4:5, :]  # floor(w*mu3 / beta^4) — 1 limb (q < 16)
     qp = _carry_propagate(
-        _mul_columns(qhat, _bcast_const(p_arr, a, L), L + 1), L + 1
+        _mul_columns(qhat, _bcast_const(p_arr, x, L), L + 1), L + 1
     )
-    r, _ = _sub_with_borrow(t[..., : L + 1, :], qp)
-    p_pad = jnp.concatenate(
-        [_bcast_const(p_arr, a, L), jnp.zeros(a.shape[:-2] + (1, a.shape[-1]), U32)],
-        axis=-2,
+    r, _ = _sub_with_borrow(t, qp)
+    z1 = jnp.zeros(x.shape[:-2] + (1, x.shape[-1]), U32)
+    p_pad = jnp.concatenate([_bcast_const(p_arr, x, L), z1], axis=-2)
+    r = _cond_sub(_cond_sub(r, p_pad), p_pad)
+    return r[..., :L, :]
+
+
+def _reduce_2l(t, p_arr, fold, L):
+    """Reduce a 2L-limb value t (limbs on axis -2) to canonical L limbs."""
+    a = t  # shape/batch template for broadcasts below
+    t_lo, t_hi = t[..., :L, :], t[..., L:, :]
+
+    # fold: acc_lo/acc_hi are the offset-0 / offset-1 partial rows of
+    # sum_i t_hi[i] * C_i; column sums stay < L * 2^17 << 2^32
+    acc_lo = acc_hi = None
+    for i in range(L):
+        ci = _bcast_const(fold[i * L : (i + 1) * L], a, L)
+        prod = t_hi[..., i : i + 1, :] * ci
+        lo, hi = prod & MASK, prod >> LIMB_BITS
+        acc_lo = lo if acc_lo is None else acc_lo + lo
+        acc_hi = hi if acc_hi is None else acc_hi + hi
+
+    z1 = jnp.zeros(a.shape[:-2] + (1, a.shape[-1]), U32)
+    z2 = jnp.concatenate([z1, z1], axis=-2)
+    cols = (
+        jnp.concatenate([acc_lo, z2], axis=-2)
+        + jnp.concatenate([z1, acc_hi, z1], axis=-2)
+        + jnp.concatenate([t_lo, z2], axis=-2)
     )
+    V = _carry_propagate(cols, L + 2)
+
+    w = V[..., L - 2 :, :]  # (..., 4, B)
+    mu3 = _bcast_const(fold[L * L : L * L + 4], a, 4)
+    m = _carry_propagate(_mul_columns(w, mu3, 8), 8)
+    qhat = m[..., 4:6, :]  # floor(w*mu3 / beta^4) — 2 limbs (q < 2^22)
+
+    qp = _carry_propagate(
+        _mul_columns(qhat, _bcast_const(p_arr, a, L), L + 2), L + 2
+    )
+    r, _ = _sub_with_borrow(V, qp)
+    r = r[..., : L + 1, :]
+    p_pad = jnp.concatenate([_bcast_const(p_arr, a, L), z1], axis=-2)
     r = _cond_sub(_cond_sub(r, p_pad), p_pad)
     return r[..., :L, :]
 
@@ -258,7 +332,7 @@ def _kernel_fn(spec: FieldSpec, op: str, interpret: bool):
 
     const_specs = [
         pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((L + 1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L * L + 4, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
     ][:n_consts]
     if op != "mul":
         const_specs = [pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)]
@@ -282,9 +356,15 @@ def _kernel_fn(spec: FieldSpec, op: str, interpret: bool):
 def _consts(spec: FieldSpec, op: str):
     p_arr = jnp.asarray(np.asarray(spec.modulus_limbs, np.uint32)[:, None])
     if op == "mul":
-        mu = jnp.asarray(np.asarray(spec.mu_limbs, np.uint32)[:, None])
-        return (p_arr, mu)
+        return (p_arr, fold_const(spec))
     return (p_arr,)
+
+
+def fold_const(spec: FieldSpec):
+    """(L*L+4, 1) fold/mu3 constant block for ``_barrett_mul_lm``."""
+    from .limbs import fold_limbs
+
+    return jnp.asarray(fold_limbs(spec)[:, None])
 
 
 def binary_op(spec: FieldSpec, op: str, a, b, *, interpret: bool = False):
@@ -348,7 +428,7 @@ def _pow_kernel(spec: FieldSpec, nbits: int, interpret: bool):
         o_ref[...] = jax.lax.fori_loop(0, nbits, body, acc0)
 
     p_spec = pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
-    mu_spec = pl.BlockSpec((L + 1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((L * L + 4, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
     bits_spec = pl.BlockSpec((nbits,), lambda j: (0,), memory_space=pltpu.SMEM)
     data_spec = pl.BlockSpec(
         (L, POW_BLOCK), lambda j: (0, j), memory_space=pltpu.VMEM

@@ -145,5 +145,8 @@ def is_identity(spec: FieldSpec, p: jnp.ndarray) -> jnp.ndarray:
 
 def b3_const(spec: FieldSpec, b: int) -> jnp.ndarray:
     from ..fields.limbs import int_to_limbs
+    from . import ec_pallas
 
-    return jnp.asarray(int_to_limbs((3 * b) % spec.modulus, spec.n_limbs), jnp.uint32)
+    v = (3 * b) % spec.modulus
+    ec_pallas.register_b3(spec, v)
+    return jnp.asarray(int_to_limbs(v, spec.n_limbs), jnp.uint32)

@@ -37,7 +37,17 @@ BLOCK = 256
 MIN_POINTS = 512
 
 
-def _add_lm_body(px, qx, p_arr, mu, b3, L):
+_B3_INT: dict = {}
+
+
+def register_b3(spec: FieldSpec, v: int) -> None:
+    """Record the integer value of the curve constant 3b for ``spec`` so
+    the fused kernel can specialize the layer-2 multiply (all supported
+    curves have tiny 3b: 9 / 12 / 3)."""
+    _B3_INT[spec] = v
+
+
+def _add_lm_body(px, qx, p_arr, mu, b3, L, b3_small=None):
     """RCB complete add on coordinate-major (3, L, B) tiles (in VMEM)."""
     X1, Y1, Z1 = px[0], px[1], px[2]
     X2, Y2, Z2 = qx[0], qx[1], qx[2]
@@ -55,37 +65,48 @@ def _add_lm_body(px, qx, p_arr, mu, b3, L):
     t4 = s_(s_(syz, t1), t2)  # Y1Z2 + Y2Z1
     t5 = s_(s_(sxz, t0), t2)  # X1Z2 + X2Z1
 
-    # layer 2: multiplies by the curve constant 3b
-    b3b = jnp.broadcast_to(b3, (1, L, t2.shape[-1]))
-    prod2 = mul(jnp.stack([t2, t5]), jnp.concatenate([b3b, b3b]))
+    # layer 2: multiplies by the curve constant 3b — shift-add short
+    # multiply + 1-limb-quotient reduction when 3b is statically small
+    if b3_small is not None:
+        prod2 = fp._small_mul_lm(jnp.stack([t2, t5]), b3_small, p_arr, mu, L)
+    else:
+        b3b = jnp.broadcast_to(b3, (1, L, t2.shape[-1]))
+        prod2 = mul(jnp.stack([t2, t5]), jnp.concatenate([b3b, b3b]))
     b3t2, b3t5 = prod2[0], prod2[1]
 
     m3t0 = a_(a_(t0, t0), t0)  # 3 X1X2
     zs = a_(t1, b3t2)  # Y1Y2 + b3 Z1Z2
     td = s_(t1, b3t2)  # Y1Y2 - b3 Z1Z2
 
-    # layer 3: 6 independent products
-    prod3 = mul(
-        jnp.stack([t3, t4, b3t5, td, zs, m3t0]),
-        jnp.stack([td, b3t5, m3t0, zs, t4, t3]),
+    # layer 3: 6 products collapsing pairwise into X3/Y3/Z3 — computed as
+    # three fused (a*b + c*d) mod p with ONE reduction each (the X3
+    # subtraction becomes an addition of the negated operand, and
+    # 0 - x == p - x with the 0 -> 0 case handled by _sub_lm's borrow fix)
+    nb3t5 = s_(jnp.zeros_like(b3t5), b3t5)
+    out3 = fp._mul2_lm(
+        jnp.stack([t3, b3t5, zs]),
+        jnp.stack([td, m3t0, t4]),
+        jnp.stack([t4, td, m3t0]),
+        jnp.stack([nb3t5, zs, t3]),
+        p_arr,
+        mu,
+        L,
     )
-    X3 = s_(prod3[0], prod3[1])
-    Y3 = a_(prod3[2], prod3[3])
-    Z3 = a_(prod3[4], prod3[5])
-    return jnp.stack([X3, Y3, Z3])
+    return out3
 
 
 @lru_cache(maxsize=None)
-def _add_call(spec: FieldSpec, interpret: bool):
+def _add_call(spec: FieldSpec, b3_small, interpret: bool):
     L = spec.n_limbs
 
     def kernel(p_ref, mu_ref, b3_ref, a_ref, b_ref, o_ref):
         o_ref[...] = _add_lm_body(
-            a_ref[...], b_ref[...], p_ref[...], mu_ref[...], b3_ref[...], L
+            a_ref[...], b_ref[...], p_ref[...], mu_ref[...], b3_ref[...], L,
+            b3_small=b3_small,
         )
 
     p_spec = pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
-    mu_spec = pl.BlockSpec((L + 1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((L * L + 4, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
     pt_spec = pl.BlockSpec((3, L, BLOCK), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
 
     def call(p_arr, mu, b3, a_cm, b_cm):
@@ -104,8 +125,7 @@ def _add_call(spec: FieldSpec, interpret: bool):
 
 def _consts(spec: FieldSpec, b3):
     p_arr = jnp.asarray(np.asarray(spec.modulus_limbs, np.uint32)[:, None])
-    mu = jnp.asarray(np.asarray(spec.mu_limbs, np.uint32)[:, None])
-    return p_arr, mu, jnp.reshape(b3, (spec.n_limbs, 1))
+    return p_arr, fp.fold_const(spec), jnp.reshape(b3, (spec.n_limbs, 1))
 
 
 def eligible(p, q) -> bool:
@@ -131,7 +151,9 @@ def add(spec: FieldSpec, b3, p, q, *, interpret: bool = False):
         a_cm = jnp.pad(a_cm, ((0, 0), (0, 0), (0, pad)))
         b_cm = jnp.pad(b_cm, ((0, 0), (0, 0), (0, pad)))
     p_arr, mu, b3c = _consts(spec, b3)
-    out = _add_call(spec, interpret)(p_arr, mu, b3c, a_cm, b_cm)
+    b3v = _B3_INT.get(spec)
+    b3_small = b3v if (b3v is not None and 1 <= b3v < 16) else None
+    out = _add_call(spec, b3_small, interpret)(p_arr, mu, b3c, a_cm, b_cm)
     if pad:
         out = out[..., :n]
     return out.transpose(2, 0, 1).reshape(shape)

@@ -75,11 +75,14 @@ def _tree_reduce_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp
 
 def _pick_params(n: int, c: int) -> Tuple[int, int]:
     if c <= 0:
-        c = 4 if n <= (1 << 12) else 6
+        c = 5 if n <= (1 << 12) else 7
     # r3 v5e sweep (scripts/bench_msm_sweep2.py, n=2^14, flat scatter):
     # c=6/G=16 90.9ms; G=32 +23%; G=64 +127%; c=8 ~5x worse, c=10 ~15x —
     # the bucket scatter cost tracks the bucket TENSOR size, so small K
     # and small G win.  Larger G also inflates the tensor with no upside.
+    # r4: SIGNED digits halve K for the same c, so c moves up one notch at
+    # the same bucket-tensor size: c=7 signed has K=65 (vs 64 for c=6
+    # unsigned) and 37 windows instead of 43 — 14% fewer EC adds.
     groups = min(16, max(8, n // 1024))
     return c, groups
 
@@ -150,28 +153,57 @@ def fold_windows_host(fq_spec: FieldSpec, Fq, totals_np, c: int):
     return None if acc is None else (int(acc[0]), int(acc[1]))
 
 
+def signed_window_digits(scalars, c: int, fr_bits: int):
+    """Signed c-bit recoding: digit in [-2^(c-1), 2^(c-1)].
+
+    Returns (magnitudes (W, n) in [0, half], negate-flags (W, n) bool) with
+    W = num_windows(fr_bits + 1, c).  A raw digit d > half becomes
+    d - 2^c < 0 with a +1 carry into the next window; because the window
+    coverage spans fr_bits + 1 bits, the top raw digit is < half, so the
+    final carry is always absorbed (never lost).
+    """
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    raw = window_digits(scalars, c, fr_bits + 1)  # (W, n) unsigned
+    W = raw.shape[0]
+    mags, negs = [], []
+    carry = jnp.zeros(raw.shape[1], jnp.uint32)
+    for w in range(W):
+        d = raw[w] + carry
+        over = d > half
+        mags.append(jnp.where(over, full - d, d))
+        negs.append(over)
+        carry = over.astype(jnp.uint32)
+    return jnp.stack(mags), jnp.stack(negs)
+
+
 def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
     """Grouped serial bucket accumulation -> (W, G, K, 3, L).
 
-    Each of G groups owns a private bucket array; a ``fori_loop`` walks the
-    group's points adding each into its digit's bucket (disjoint scatter).
-    Digit-0 buckets accumulate junk (incl. padding) but are never weighted.
+    SIGNED digits (K = 2^(c-1)+1 buckets, one more window notch at the
+    same bucket-tensor size): each of G groups owns a private bucket
+    array; a ``fori_loop`` walks the group's points adding each point (or
+    its negation, for negative digits) into its |digit| bucket via a
+    disjoint scatter.  Digit-0 buckets accumulate junk (incl. padding)
+    but are never weighted.
     """
     n = points.shape[0]
-    K = 1 << c
-    W = num_windows(fr_bits, c)
+    K = (1 << (c - 1)) + 1
     L = fq_spec.n_limbs
 
-    digits = window_digits(scalars, c, fr_bits)  # (W, n)
+    digits, signs = signed_window_digits(scalars, c, fr_bits)  # (W, n) x2
+    W = digits.shape[0]
 
     S = -(-n // G)  # points per group
     n_pad = S * G
     if n_pad != n:
         points = jnp.concatenate([points, ec.identity(fq_spec, (n_pad - n,))])
         digits = jnp.pad(digits, ((0, 0), (0, n_pad - n)))
+        signs = jnp.pad(signs, ((0, 0), (0, n_pad - n)))
 
     pts_steps = points.reshape(S, G, 3, L)
     dig_steps = digits.reshape(W, S, G)
+    sgn_steps = signs.reshape(W, S, G)
 
     # flattened 1-D addressing: measured ~20% faster than the 3-D advanced-
     # index scatter on v5e (90.9 vs 113.4 ms at n=2^14, c=6, G=16)
@@ -183,10 +215,17 @@ def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
 
     def body(j, bflat):
         p_j = pts_steps[j]  # (G, 3, L)
+        s_j = sgn_steps[:, j, :]  # (W, G)
         d_j = dig_steps[:, j, :]  # (W, G)
+        # projective negation: -P = (X, p-Y, Z); fd.sub's 0 -> 0 keeps
+        # identity representatives valid.  Negating the tiny (G, 3, L)
+        # slice in-loop beats materializing a second (n, 3, L) array.
+        ny = fd.sub(fq_spec, jnp.zeros_like(p_j[:, 1]), p_j[:, 1])
+        n_j = jnp.concatenate([p_j[:, :1], ny[:, None], p_j[:, 2:]], axis=1)
+        q_j = jnp.where(s_j[:, :, None, None], n_j[None], p_j[None])
         lin = (base + d_j).reshape(-1)  # (W*G,) — all distinct by layout
         cur = bflat[lin].reshape(W, G, 3, L)
-        upd = ec.add(fq_spec, b3, cur, p_j[None]).reshape(-1, 3, L)
+        upd = ec.add(fq_spec, b3, cur, q_j).reshape(-1, 3, L)
         return bflat.at[lin].set(upd, unique_indices=True, mode="promise_in_bounds")
 
     bflat = jax.lax.fori_loop(0, S, body, bflat0)
@@ -209,6 +248,12 @@ def _reduce_buckets(fq_spec, b3, buckets):
     T = identity_like(fq_spec, B)
     level = 0
     while S.shape[1] > 1:
+        if S.shape[1] % 2:
+            # odd bucket count (signed digits: K = 2^(c-1)+1): pad with an
+            # identity bucket at the top — its weight contributes nothing
+            pad = identity_like(fq_spec, S[:, :1])
+            S = jnp.concatenate([S, pad], axis=1)
+            T = jnp.concatenate([T, pad], axis=1)
         S_l, S_r = S[:, 0::2], S[:, 1::2]
         T_l, T_r = T[:, 0::2], T[:, 1::2]
         hS = S_r

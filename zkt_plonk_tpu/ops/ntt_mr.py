@@ -445,7 +445,7 @@ def _col_pass_pallas(x, stage_tws, L, p_arr, mu, interpret=False):
         )
 
     p_spec = pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
-    mu_spec = pl.BlockSpec((L + 1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((L * L + 4, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
     tw_spec = pl.BlockSpec((F, L, 1), lambda j: (0, 0, 0), memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((F, L, mb), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -487,7 +487,7 @@ def _mul3d(x, tbl, L, p_arr, mu, use_kernel, interpret=False):
 
     rows = tbl.shape[0]  # F, or 1 (row-independent: leading broadcast)
     p_spec = pl.BlockSpec((L, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
-    mu_spec = pl.BlockSpec((L + 1, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    mu_spec = pl.BlockSpec((L * L + 4, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
     d_spec = pl.BlockSpec((F, L, mb), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((rows, L, mb), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -526,7 +526,7 @@ def transform(
         use_kernel = fp.use_pallas()
 
     p_arr = jnp.asarray(np.asarray(spec.modulus_limbs, np.uint32)[:, None])
-    mu = jnp.asarray(np.asarray(spec.mu_limbs, np.uint32)[:, None])
+    mu = fp.fold_const(spec)
 
     batch = x.shape[:-2]
     nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
