@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import device as fd
-from ..fields.limbs import LIMB_BITS, FieldSpec
+from ..fields.limbs import LIMB_BITS, LIMB_MASK, FieldSpec
 from . import ec
 
 DEFAULT_WINDOW = 8
@@ -52,6 +52,21 @@ def window_digits(scalars: jnp.ndarray, c: int, fr_bits: int) -> jnp.ndarray:
         word = lo | (hi << LIMB_BITS)
         digits.append((word >> of) & mask)
     return jnp.stack(digits)
+
+
+def _pack16(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., L) uint32 of 16-bit limbs -> (..., L/2) with two limbs per
+    word.  Bucket rows live packed in HBM: the data-dependent bucket
+    gather/scatter runs at ~2-9 GB/s effective (vs ~30 GB/s streaming),
+    so halving the row bytes halves the dominant MSM cost."""
+    return x[..., 0::2] | (x[..., 1::2] << LIMB_BITS)
+
+
+def _unpack16(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``_pack16``: (..., L/2) -> (..., L)."""
+    lo = x & np.uint32(LIMB_MASK)
+    hi = x >> LIMB_BITS
+    return jnp.stack([lo, hi], axis=-1).reshape(*x.shape[:-1], 2 * x.shape[-1])
 
 
 def _tree_reduce_points(spec: FieldSpec, b3, pts: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -209,9 +224,13 @@ def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
     # index scatter on v5e (90.9 vs 113.4 ms at n=2^14, c=6, G=16)
     base = (jnp.arange(W)[:, None] * G + jnp.arange(G)[None, :]) * K  # (W, G)
     # ``+ 0*points`` keeps the value but derives the fori carry's
-    # sharding/varying-manual-axes type from the inputs (shard_map safe)
+    # sharding/varying-manual-axes type from the inputs (shard_map safe).
+    # The bucket tensor is held PACKED (two 16-bit limbs per u32 word):
+    # the data-dependent row gather/scatter is the MSM wall (r4 measured
+    # ~49 of 63 us/step at 2^16), and packing halves its bytes.
+    assert L % 2 == 0, "16-bit limb packing needs an even limb count"
     buckets0 = ec.identity(fq_spec, (W, G, K)) + jnp.zeros_like(points[0])
-    bflat0 = buckets0.reshape(W * G * K, 3, L)
+    bflat0 = _pack16(buckets0.reshape(W * G * K, 3, L))
 
     def body(j, bflat):
         p_j = pts_steps[j]  # (G, 3, L)
@@ -224,12 +243,14 @@ def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
         n_j = jnp.concatenate([p_j[:, :1], ny[:, None], p_j[:, 2:]], axis=1)
         q_j = jnp.where(s_j[:, :, None, None], n_j[None], p_j[None])
         lin = (base + d_j).reshape(-1)  # (W*G,) — all distinct by layout
-        cur = bflat[lin].reshape(W, G, 3, L)
+        cur = _unpack16(bflat[lin]).reshape(W, G, 3, L)
         upd = ec.add(fq_spec, b3, cur, q_j).reshape(-1, 3, L)
-        return bflat.at[lin].set(upd, unique_indices=True, mode="promise_in_bounds")
+        return bflat.at[lin].set(
+            _pack16(upd), unique_indices=True, mode="promise_in_bounds"
+        )
 
     bflat = jax.lax.fori_loop(0, S, body, bflat0)
-    return bflat.reshape(W, G, K, 3, L)
+    return _unpack16(bflat).reshape(W, G, K, 3, L)
 
 
 def _reduce_buckets(fq_spec, b3, buckets):
