@@ -3,8 +3,12 @@
 Headline: full withdraw-circuit proving throughput (BASELINE.md config #4,
 reference flow ``prove.rs:59-483`` at the default instance config
 HEIGHT=48 / NOTES=3 / TABLE=1024 / Poseidon x4 — ``bin/src/instance.rs:41``).
-Falls back to the NTT+MSM pipeline metric if the withdraw run is skipped
-(``ZKT_BENCH_QUICK=1``).
+
+ORDER MATTERS (r4 lesson): the withdraw headline runs FIRST and the JSON
+line is printed the moment it lands; the NTT/MSM/field-mul microbenches
+run AFTER the print, purely informational (stderr).  The r4 bench spent
+its whole 840 s budget on microbenches + SRS setups and the headline never
+reached the driver artifact.
 
 Methodology (fixed in r3 after the r1->r2 field-mul "regression" proved to
 be measurement artifact): every latency is the MEDIAN over >= 5 trials of
@@ -67,9 +71,106 @@ def relay_floor():
     return statistics.median(ts)
 
 
-def main():
-    import threading
+def run_withdraw(detail, deadline):
+    """Headline path: load-or-build keys, prove, verify.  Returns the
+    metric dict or None on failure/timeout-risk."""
+    import jax
 
+    from zkt_plonk_tpu.commitment import kzg
+    from zkt_plonk_tpu.plonk import CompiledCircuit, ZKTPlonk
+    from zkt_plonk_tpu.utils import serialize as ser
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_withdraw import build
+
+    height, notes = 48, 3
+    circuit, table, pub_inputs = build(height, notes)
+    inst = ZKTPlonk(curve="bn254", table=table)
+    p = inst.ctx.curve.fr.modulus
+
+    # --- key checkpoint: SRS + compiled keys persist across runs ---------
+    # (the reference's checkpoint system, ``bin/src/parser.rs:5-23``;
+    # here it also keeps the driver bench inside its budget: SRS gen +
+    # circuit compile cost ~450 s cold through the axon relay)
+    key_dir = os.path.join(
+        os.path.expanduser("~/.cache/zkt_plonk_tpu"),
+        f"bench_keys_v1_h{height}n{notes}",
+    )
+    paths = {k: os.path.join(key_dir, k) for k in ("ck", "pk", "vk", "cvk", "epk")}
+    have_keys = all(
+        os.path.exists(paths[k] + (".npz" if k in ("ck", "pk", "epk") else ""))
+        for k in paths
+    )
+    if have_keys:
+        t0 = time.perf_counter()
+        compiled = CompiledCircuit(
+            ck=ser.load_committer_key(paths["ck"]),
+            cvk=ser.load_kzg_vk(paths["cvk"]),
+            pk=ser.load_prover_key(paths["pk"]),
+            epk=ser.load_extended_prover_key(paths["epk"]),
+            vk=ser.load_verifier_key(paths["vk"]),
+        )
+        log(f"keys loaded from {key_dir}: {time.perf_counter()-t0:.1f}s "
+            f"(n={compiled.vk.n})")
+    else:
+        from zkt_plonk_tpu.cs import ConstraintSystem
+
+        cs = ConstraintSystem(p, setup=True, lookup_table=table)
+        circuit.synthesize(cs)
+        bound = cs.circuit_bound()
+        log(f"withdraw circuit: gates={cs.n} bound=2^{bound.bit_length()-1}")
+        t0 = time.perf_counter()
+        ck, cvk = kzg.setup(inst.ctx, max_degree=4 * bound, tau=987654321)
+        log(f"srs setup: {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        compiled = inst.compile(circuit, ck, cvk)
+        log(f"circuit compile: {time.perf_counter()-t0:.1f}s")
+        # prover MSMs never go beyond n+4 coefficients; trim the SRS to
+        # that (50 MB checkpoint instead of 800 MB) and PROVE with the
+        # trimmed key too, so both the cold and the key-loaded runs
+        # compile identical MSM shapes (shared XLA cache entries)
+        compiled.ck = kzg.CommitterKey(
+            ctx=compiled.ck.ctx,
+            powers=compiled.ck.powers[: compiled.vk.n + 5],
+            b3=compiled.ck.b3,
+        )
+        t0 = time.perf_counter()
+        os.makedirs(key_dir, exist_ok=True)
+        ser.save_committer_key(paths["ck"], compiled.ck)
+        ser.save_kzg_vk(paths["cvk"], compiled.cvk)
+        ser.save_prover_key(paths["pk"], compiled.pk)
+        ser.save_verifier_key(paths["vk"], compiled.vk)
+        ser.save_extended_prover_key(paths["epk"], compiled.epk)
+        log(f"keys checkpointed to {key_dir}: {time.perf_counter()-t0:.1f}s")
+
+    prng = random.Random(42)
+    t0 = time.perf_counter()
+    proof = inst.prove(compiled, circuit, rng=prng)
+    cold = time.perf_counter() - t0
+    log(f"prove (cold, incl jit): {cold:.1f}s")
+    times = []
+    while len(times) < 2 and (not times or time.time() + times[0] < deadline):
+        t0 = time.perf_counter()
+        proof = inst.prove(compiled, circuit, rng=prng)
+        times.append(time.perf_counter() - t0)
+    warm = min(times)
+    inst.verify(compiled, proof, pub_inputs)
+    log(f"prove (warm): {warm:.2f}s; verify OK")
+    detail["withdraw_prove_cold_s"] = round(cold, 1)
+    detail["withdraw_prove_warm_s"] = round(warm, 3)
+    detail["withdraw_height"] = height
+    detail["withdraw_notes"] = notes
+    return {
+        "metric": "withdraw_proofs_per_s",
+        "value": round(1.0 / warm, 4),
+        "unit": "proofs/s/chip",
+        "vs_baseline": None,
+        "detail": detail,
+    }
+
+
+def micro_benches(detail, floor, deadline):
+    """Informational microbenches (run AFTER the headline is printed)."""
     import jax
     import jax.numpy as jnp
 
@@ -79,41 +180,9 @@ def main():
     from zkt_plonk_tpu.ops import ntt
     from zkt_plonk_tpu.utils.domain import make_domain
 
-    # GLOBAL watchdog: the driver parses the FIRST JSON line on stdout and
-    # kills the process at an unknown budget; we must print exactly one
-    # line, before either happens.  On fire: emit the best metric gathered
-    # so far and exit cleanly.  (The axon relay can also wedge for minutes
-    # on a trivial dispatch — this bounds that too.)
-    state = {"fallback": None, "done": False}
-    budget = int(os.environ.get("ZKT_BENCH_BUDGET_S", "840"))
-
-    def _bail():
-        if state["done"]:
-            return
-        state["done"] = True
-        log(f"bench exceeded {budget}s budget — emitting best-so-far metric")
-        line = state["fallback"] or {
-            "metric": "bench_incomplete",
-            "value": 0.0,
-            "unit": "n/a",
-            "vs_baseline": None,
-        }
-        print(json.dumps(line), flush=True)
-        os._exit(0)
-
-    global_watchdog = threading.Timer(budget, _bail)
-    global_watchdog.daemon = True
-    global_watchdog.start()
-
-    backend = jax.default_backend()
-    log(f"backend: {backend}, devices: {jax.devices()}")
-    floor = relay_floor()
-    log(f"relay round-trip floor: {floor*1e3:.1f} ms (subtracted)")
-
     spec = make_spec(BN254_FR)
     p = spec.modulus
     rng = random.Random(0)
-    detail = {"backend": backend, "relay_floor_ms": round(floor * 1e3, 1)}
 
     # --- field mul throughput (10 chained muls in ONE jit) ---------------
     n = 1 << 20
@@ -130,6 +199,8 @@ def main():
     mul_rate = n / t
     detail["field_mul_G_per_s"] = round(mul_rate / 1e9, 3)
     log(f"field mul 2^20: {mul_rate/1e9:.3f} G/s")
+    if time.time() > deadline:
+        return
 
     # --- NTT 2^14 (default TPU path) -------------------------------------
     n_ntt = 1 << 14
@@ -143,6 +214,8 @@ def main():
     ntt_time = median_time(lambda: fftf(plan, coeffs), reps=7, floor=floor)
     detail["ntt_2e14_ms"] = round(ntt_time * 1e3, 2)
     log(f"NTT 2^14: {ntt_time*1e3:.2f} ms -> {1/ntt_time:.1f} NTT/s")
+    if time.time() > deadline:
+        return
 
     # --- KZG commit (Pippenger MSM window totals + host fold) ------------
     from zkt_plonk_tpu.commitment import kzg
@@ -166,120 +239,81 @@ def main():
         detail[f"msm_2e{log_m}_ms"] = round(msm_t * 1e3, 1)
         log(f"KZG commit 2^{log_m} (device totals + host fold): {msm_t*1e3:.1f} ms")
         del ck, committer
+        if time.time() > deadline:
+            return
 
-    # --- withdraw proof (headline, BASELINE #4) --------------------------
+
+def main():
+    import threading
+
+    import jax
+
+    # GLOBAL watchdog: the driver parses the FIRST JSON line on stdout and
+    # kills the process at an unknown budget; we must print exactly one
+    # line, before either happens.  On fire: emit the best metric gathered
+    # so far and exit cleanly.  (The axon relay can also wedge for minutes
+    # on a trivial dispatch — this bounds that too.)
+    state = {"line": None, "printed": False}
+    budget = int(os.environ.get("ZKT_BENCH_BUDGET_S", "840"))
+    t_start = time.time()
+    deadline = t_start + budget - 30  # leave margin to flush
+
+    def _emit(line):
+        if state["printed"]:
+            return
+        state["printed"] = True
+        print(json.dumps(line), flush=True)
+
+    def _bail():
+        log(f"bench exceeded {budget}s budget — emitting best-so-far metric")
+        _emit(state["line"] or {
+            "metric": "bench_incomplete",
+            "value": 0.0,
+            "unit": "n/a",
+            "vs_baseline": None,
+        })
+        os._exit(0)
+
+    global_watchdog = threading.Timer(budget - 15, _bail)
+    global_watchdog.daemon = True
+    global_watchdog.start()
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+    floor = relay_floor()
+    log(f"relay round-trip floor: {floor*1e3:.1f} ms (subtracted)")
+    detail = {"backend": backend, "relay_floor_ms": round(floor * 1e3, 1)}
+
+    # --- headline FIRST ---------------------------------------------------
     quick = os.environ.get("ZKT_BENCH_QUICK", "0") == "1"
-    fallback = {
-        "metric": "ntt14_plus_kzg_commit14_pipeline",
-        "value": round(1.0 / (ntt_time + detail["msm_2e14_ms"] / 1e3), 3),
-        "unit": "ops/s/chip",
-        "vs_baseline": None,
-        "detail": dict(detail),
-    }
-    # the fallback is NOT printed eagerly: the driver parses the FIRST
-    # JSON line on stdout, so an early fallback would mask the withdraw
-    # headline.  The global watchdog above emits it if the budget runs out.
-    state["fallback"] = fallback
     if not quick:
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-        from bench_withdraw import build
-        from zkt_plonk_tpu.plonk import CompiledCircuit, ZKTPlonk
-        from zkt_plonk_tpu.utils import serialize as ser
+        try:
+            line = run_withdraw(detail, deadline)
+        except Exception as e:  # pragma: no cover — cold-machine safety net
+            log(f"withdraw headline failed: {type(e).__name__}: {e}")
+            line = None
+        if line is not None:
+            state["line"] = line
+            _emit(line)
 
-        height, notes = 48, 3
-        circuit, table, pub_inputs = build(height, notes)
-        inst = ZKTPlonk(curve="bn254", table=table)
+    # --- microbenches (informational; after the print) -------------------
+    try:
+        micro_benches(detail, floor, deadline)
+    except Exception as e:  # pragma: no cover
+        log(f"microbenches aborted: {type(e).__name__}: {e}")
 
-        # --- key checkpoint: SRS + compiled keys persist across runs -----
-        # (the reference's checkpoint system, ``bin/src/parser.rs:5-23``;
-        # here it also keeps the driver bench inside its budget: SRS gen +
-        # circuit compile cost ~450 s cold through the axon relay)
-        key_dir = os.path.join(
-            os.path.expanduser("~/.cache/zkt_plonk_tpu"),
-            f"bench_keys_v1_h{height}n{notes}",
-        )
-        paths = {k: os.path.join(key_dir, k) for k in ("ck", "pk", "vk", "cvk", "epk")}
-        have_keys = all(
-            os.path.exists(paths[k] + (".npz" if k in ("ck", "pk", "epk") else ""))
-            for k in paths
-        )
-        if have_keys:
-            t0 = time.perf_counter()
-            compiled = CompiledCircuit(
-                ck=ser.load_committer_key(paths["ck"]),
-                cvk=ser.load_kzg_vk(paths["cvk"]),
-                pk=ser.load_prover_key(paths["pk"]),
-                epk=ser.load_extended_prover_key(paths["epk"]),
-                vk=ser.load_verifier_key(paths["vk"]),
-            )
-            log(f"keys loaded from {key_dir}: {time.perf_counter()-t0:.1f}s "
-                f"(n={compiled.vk.n})")
-        else:
-            from zkt_plonk_tpu.cs import ConstraintSystem
-
-            cs = ConstraintSystem(p, setup=True, lookup_table=table)
-            circuit.synthesize(cs)
-            bound = cs.circuit_bound()
-            log(f"withdraw circuit: gates={cs.n} bound=2^{bound.bit_length()-1}")
-            t0 = time.perf_counter()
-            ck, cvk = kzg.setup(inst.ctx, max_degree=4 * bound, tau=987654321)
-            log(f"srs setup: {time.perf_counter()-t0:.1f}s")
-            t0 = time.perf_counter()
-            compiled = inst.compile(circuit, ck, cvk)
-            log(f"circuit compile: {time.perf_counter()-t0:.1f}s")
-            # prover MSMs never go beyond n+4 coefficients; trim the SRS to
-            # that (50 MB checkpoint instead of 800 MB) and PROVE with the
-            # trimmed key too, so both the cold and the key-loaded runs
-            # compile identical MSM shapes (shared XLA cache entries)
-            compiled.ck = kzg.CommitterKey(
-                ctx=compiled.ck.ctx,
-                powers=compiled.ck.powers[: compiled.vk.n + 5],
-                b3=compiled.ck.b3,
-            )
-            t0 = time.perf_counter()
-            os.makedirs(key_dir, exist_ok=True)
-            ser.save_committer_key(paths["ck"], compiled.ck)
-            ser.save_kzg_vk(paths["cvk"], compiled.cvk)
-            ser.save_prover_key(paths["pk"], compiled.pk)
-            ser.save_verifier_key(paths["vk"], compiled.vk)
-            ser.save_extended_prover_key(paths["epk"], compiled.epk)
-            log(f"keys checkpointed to {key_dir}: {time.perf_counter()-t0:.1f}s")
-        prng = random.Random(42)
-        t0 = time.perf_counter()
-        proof = inst.prove(compiled, circuit, rng=prng)
-        cold = time.perf_counter() - t0
-        log(f"prove (cold, incl jit): {cold:.1f}s")
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            proof = inst.prove(compiled, circuit, rng=prng)
-            times.append(time.perf_counter() - t0)
-        warm = min(times)
-        inst.verify(compiled, proof, pub_inputs)
-        state["done"] = True
-        global_watchdog.cancel()
-        log(f"prove (warm): {warm:.2f}s; verify OK")
-        detail["withdraw_prove_cold_s"] = round(cold, 1)
-        detail["withdraw_prove_warm_s"] = round(warm, 3)
-        detail["withdraw_height"] = height
-        detail["withdraw_notes"] = notes
-        value = round(1.0 / warm, 4)
-        metric = "withdraw_proofs_per_s"
-        unit = "proofs/s/chip"
-    else:
-        value = fallback["value"]
-        metric = fallback["metric"]
-        unit = fallback["unit"]
-
-    state["done"] = True
+    if not state["printed"]:
+        # quick mode or withdraw failure: NTT+MSM pipeline fallback
+        ntt_s = detail.get("ntt_2e14_ms", 1e9) / 1e3
+        msm_s = detail.get("msm_2e14_ms", 1e9) / 1e3
+        _emit({
+            "metric": "ntt14_plus_kzg_commit14_pipeline",
+            "value": round(1.0 / (ntt_s + msm_s), 3),
+            "unit": "ops/s/chip",
+            "vs_baseline": None,
+            "detail": detail,
+        })
     global_watchdog.cancel()
-    print(json.dumps({
-        "metric": metric,
-        "value": value,
-        "unit": unit,
-        "vs_baseline": None,
-        "detail": detail,
-    }))
 
 
 if __name__ == "__main__":

@@ -9,7 +9,13 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's region-analysis copy insertion is superlinear in program size
+# on the limb graphs (zr program: ~12 min with it, 28 s without — measured
+# r5); disabling it only adds conservative runtime copies.
+if "xla_cpu_copy_insertion_use_region_analysis" not in _flags:
+    _flags += " --xla_cpu_copy_insertion_use_region_analysis=false"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

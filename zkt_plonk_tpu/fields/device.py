@@ -53,6 +53,33 @@ def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
     return jnp.pad(x, pad)[..., : x.shape[-1]]
 
 
+def _shift_up_dyn(x: jnp.ndarray, d) -> jnp.ndarray:
+    """``_shift_up`` for a TRACED shift amount (zero fill)."""
+    n = x.shape[-1]
+    xp = jnp.concatenate([jnp.zeros_like(x), x], axis=-1)
+    return jax.lax.dynamic_slice_in_dim(xp, n - d, n, axis=-1)
+
+
+def _ks_steps(g: jnp.ndarray, p: jnp.ndarray):
+    """Kogge-Stone generate/propagate combine: log2(L) doubling steps.
+
+    Runs under ``fori_loop`` so the step body traces ONCE — the graph-size
+    budget, not arithmetic, is the scarce resource in the deep limb
+    programs (an unrolled interior made every field op ~300 StableHLO ops
+    and blew XLA compile times up; see CLAUDE.md).  Returns the INCLUSIVE
+    combined (g, p).
+    """
+    n = g.shape[-1]
+    steps = (n - 1).bit_length()
+
+    def body(i, gp):
+        gg, pp = gp
+        d = jnp.int32(1) << i
+        return gg | (pp & _shift_up_dyn(gg, d)), pp & _shift_up_dyn(pp, d)
+
+    return jax.lax.fori_loop(0, steps, body, (g, p))
+
+
 def _ks_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Kogge-Stone parallel-prefix carry resolution.
 
@@ -61,12 +88,7 @@ def _ks_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     steps instead of an L-deep sequential ripple (the ripple formulation
     made XLA compile times blow up and serialized the VPU).
     """
-    n = g.shape[-1]
-    d = 1
-    while d < n:
-        g = g | (p & _shift_up(g, d))
-        p = p & _shift_up(p, d)
-        d <<= 1
+    g, _ = _ks_steps(g, p)
     return _shift_up(g, 1)
 
 
@@ -103,12 +125,7 @@ def _sub_with_borrow(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.n
     n = a.shape[-1]
     # inclusive borrow-out at every position (for the final borrow), then
     # exclusive borrows for the limb corrections
-    gg, pp = g, p
-    d = 1
-    while d < n:
-        gg = gg | (pp & _shift_up(gg, d))
-        pp = pp & _shift_up(pp, d)
-        d <<= 1
+    gg, _ = _ks_steps(g, p)
     borrow_in = _shift_up(gg, 1)
     diff = (limb + np.uint32(1 << LIMB_BITS) - borrow_in) & MASK
     return diff, gg[..., n - 1]

@@ -253,37 +253,50 @@ def _accumulate(fq_spec, b3, points, scalars, fr_bits, c, G):
     return _unpack16(bflat).reshape(W, G, K, 3, L)
 
 
+def _ec_masked_scan(fq_spec, b3, x, axis: int, reverse: bool = False):
+    """Inclusive prefix (or suffix) EC sums along ``axis`` — Hillis-Steele
+    doubling steps under ``fori_loop``.
+
+    The loop body traces ONE ec.add regardless of the axis length: graph
+    size is the scarce resource (an unrolled work-efficient reduction
+    traced ~90k StableHLO ops and cost 230-360 s of XLA:CPU compile PER
+    COMMIT program at toy shapes — the r3/r4 multichip-dryrun timeouts).
+    Work is k·log2(k) EC adds vs ~3k for the unrolled pairwise merge, but
+    the reduction runs over the K-sized bucket axis (K = 2^(c-1)+1 <= 65)
+    — noise next to the n-sized accumulation at any real MSM size.
+    """
+    k = x.shape[axis]
+    steps = max(0, (k - 1)).bit_length()
+    sh = [1] * x.ndim
+    sh[axis] = k
+    idx = jnp.arange(k).reshape(sh)
+
+    def body(i, y):
+        d = jnp.left_shift(jnp.int32(1), i)
+        shifted = jnp.roll(y, -d if reverse else d, axis=axis)
+        summed = ec.add(fq_spec, b3, y, shifted)
+        keep = (idx < k - d) if reverse else (idx >= d)
+        return jnp.where(keep, summed, y)
+
+    return jax.lax.fori_loop(0, steps, body, x)
+
+
 def _reduce_buckets(fq_spec, b3, buckets):
     """(W, G, K, 3, L) group buckets -> (W, 3, L) weighted totals Σ k·B_k.
 
-    Groups merge by a pairwise tree, then the weighted sum runs as a
-    WORK-EFFICIENT pairwise merge: each segment carries (S = Σ B_k,
-    T = Σ local_k·B_k); merging equal halves of size h gives
-    S' = S_l + S_r and T' = T_l + T_r + h·S_r (h = 2^level doublings).
-    Total ~3K adds per window vs K·log2(K) for the previous Hillis-Steele
-    suffix scan — this is what makes windows c >= 10 profitable.  The
-    k = 0 bucket has weight 0, so its junk (padding) never contributes.
+    Three fixed-shape masked scans (one traced EC add each): groups merge
+    with a prefix scan over G (total lands at index G-1), then the
+    weighted sum Σ_{k>=1} k·B_k = Σ_{k>=1} SS_k with SS the suffix scan
+    over buckets — evaluated by a second suffix scan (its element 1).
+    The k = 0 bucket has weight 0, so its junk (padding) never
+    contributes.
     """
-    B = _tree_reduce_points(fq_spec, b3, buckets, axis=1)  # (W, K, 3, L)
-    S = B
-    T = identity_like(fq_spec, B)
-    level = 0
-    while S.shape[1] > 1:
-        if S.shape[1] % 2:
-            # odd bucket count (signed digits: K = 2^(c-1)+1): pad with an
-            # identity bucket at the top — its weight contributes nothing
-            pad = identity_like(fq_spec, S[:, :1])
-            S = jnp.concatenate([S, pad], axis=1)
-            T = jnp.concatenate([T, pad], axis=1)
-        S_l, S_r = S[:, 0::2], S[:, 1::2]
-        T_l, T_r = T[:, 0::2], T[:, 1::2]
-        hS = S_r
-        for _ in range(level):
-            hS = ec.add(fq_spec, b3, hS, hS)
-        T = ec.add(fq_spec, b3, ec.add(fq_spec, b3, T_l, T_r), hS)
-        S = ec.add(fq_spec, b3, S_l, S_r)
-        level += 1
-    return T[:, 0]
+    G = buckets.shape[1]
+    merged = _ec_masked_scan(fq_spec, b3, buckets, axis=1)
+    B = merged[:, G - 1]  # (W, K, 3, L)
+    SS = _ec_masked_scan(fq_spec, b3, B, axis=1, reverse=True)
+    T = _ec_masked_scan(fq_spec, b3, SS, axis=1, reverse=True)
+    return T[:, 1]
 
 
 def identity_like(fq_spec, pts):

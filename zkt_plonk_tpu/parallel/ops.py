@@ -504,16 +504,20 @@ def pcommit_totals(
     device (no comm) and folds into the gathered window totals.
 
     ``c`` must be the window size the host uses for the final fold
-    (``msm.msm_window_size``) — it parameterizes BOTH local accumulations
+    (``msm.msm_window_size``) — it parameterizes the local accumulation
     so window totals align across devices and with the host fold.
-    """
-    tot = pmsm_totals(
-        fq_spec, b3, powers_shard, coeffs_shard, fr_bits, axis_name=axis_name,
-        c=c, groups=groups,
-    )
-    tail_tot = msm_mod.msm_totals(
-        fq_spec, b3, tail_points, tail_coeffs, fr_bits, c=c, groups=1
-    )
-    from ..ops import ec
 
-    return ec.add(fq_spec, b3, tot, tail_tot)
+    The replicated tail rides the MAIN accumulation: the 4 tail rows are
+    appended to every device's point shard with their coefficients masked
+    to zero except on device 0 (zero digits land in the never-weighted
+    0 bucket).  One bucket graph instead of two — the separate tail MSM
+    doubled the XLA compile cost of every commit program.
+    """
+    d = lax.axis_index(axis_name)
+    pts = jnp.concatenate([powers_shard, tail_points], axis=0)
+    tc = jnp.where(d == 0, tail_coeffs, jnp.zeros_like(tail_coeffs))
+    cfs = jnp.concatenate([coeffs_shard, tc], axis=0)
+    return pmsm_totals(
+        fq_spec, b3, pts, cfs, fr_bits, axis_name=axis_name, c=c,
+        groups=groups,
+    )

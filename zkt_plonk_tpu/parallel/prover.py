@@ -516,12 +516,17 @@ class ShardedProver:
     MSM window totals; the host performs the tiny Horner window fold.
 
     Programs (each jitted once per circuit size):
-      r12   — batched ifft of [a,b,c,t,h1,h2,pi] + blinding + 6 commit totals
-      z     — z1/z2 grand products + ifft + blinding + 2 commit totals
-      q     — interleaved 4n-coset quotient + splits + 3 commit totals
+      r12   — batched ifft of [a,b,c,t,h1,h2,pi] + blinding
+      z     — z1/z2 grand products + ifft + blinding
+      q     — interleaved 4n-coset quotient + splits
       eval  — batched multi-point evaluation at xi / omega*xi
-      lin   — linearization combine (pure local)
-      open  — eta fold + sharded synthetic division + W commit totals
+      open  — lin combine + eta folds + sharded synthetic divisions
+      commit — window totals for ONE (body, tail) polynomial
+
+    All 13 commitments go through the ONE ``commit`` executable (host
+    loop): embedding per-round commit graphs quadrupled the XLA compile
+    cost — the r3/r4 dryrun timeouts — for a dispatch saving that is
+    noise next to the MSM itself.
     """
 
     def __init__(self, prover, mesh: Mesh, axis_name: str = AXIS,
@@ -576,49 +581,49 @@ class ShardedProver:
                 )
             )
 
-        def commit(bodies, tails, powers_body, powers_tail, b3):
-            return _commit_totals_batch(
-                fq_spec, b3, powers_body, powers_tail, bodies, tails,
-                fr_bits, msm_c, msm_groups, axis,
+        # the ONE commit program: window totals for a single (body, tail)
+        def commit1(powers_body, powers_tail, b3, body_, tail_):
+            return pops.pcommit_totals(
+                fq_spec, b3, powers_body, powers_tail, body_, tail_,
+                fr_bits, c=msm_c, axis_name=axis, groups=msm_groups,
             )
 
-        # r12: one ifft over [a,b,c,t,h1,h2,pi] + 6 commit totals
-        def r12(st, powers_body, powers_tail, b3, wires, th, pi, bl_abc, bl_th):
+        self._commit1 = smap(
+            commit1, (*pw_specs, sh(axis, None), rep), rep
+        )
+
+        # r12: one ifft over [a,b,c,t,h1,h2,pi] + blinding
+        def r12(st, wires, th, pi, bl_abc, bl_th):
             evals = jnp.concatenate([wires, th, pi[None]])  # (7, m, L)
             tails = jnp.concatenate(
                 [bl_abc, bl_th, jnp.zeros_like(bl_abc[:1])]
             )
             bodies, tails = _pifft_body_tail(spec, st, evals, tails, axis)
-            totals = commit(bodies[:6], tails[:6], powers_body, powers_tail, b3)
-            return bodies, tails, totals
+            return bodies, tails
 
         self._r12 = smap(
             r12,
-            (st_specs, *pw_specs, body, body, sh(axis, None), rep, rep),
-            (body, rep, rep),
+            (st_specs, body, body, sh(axis, None), rep, rep),
+            (body, rep),
         )
 
-        # z round: grand products -> ifft -> 2 commit totals
-        def zr(st, tables, powers_body, powers_tail, b3,
-               wires, f, t, h1, h2, z_scalars, bl_z):
+        # z round: grand products -> ifft -> blinding
+        def zr(st, tables, wires, f, t, h1, h2, z_scalars, bl_z):
             z_evals = _z_evals_sharded(
                 spec, tables, wires, f, t, h1, h2, z_scalars, axis
             )
-            z_body, z_tail = _pifft_body_tail(spec, st, z_evals, bl_z, axis)
-            totals = commit(z_body, z_tail, powers_body, powers_tail, b3)
-            return z_body, z_tail, totals
+            return _pifft_body_tail(spec, st, z_evals, bl_z, axis)
 
         self._zr = smap(
             zr,
-            (st_specs, tables_specs, *pw_specs, body,
+            (st_specs, tables_specs, body,
              sh(axis, None), sh(axis, None), sh(axis, None), sh(axis, None),
              rep, rep),
-            (body, rep, rep),
+            (body, rep),
         )
 
-        # quotient round: assemble nine, fused coset pass, splits, 3 commits
-        def qr(st, q4, tables, powers_body, powers_tail, b3,
-               seven_body, seven_tail, z_body, z_tail,
+        # quotient round: assemble nine, fused coset pass, splits
+        def qr(st, q4, tables, seven_body, seven_tail, z_body, z_tail,
                q_scalars, q_weights, qblinders):
             nine_body = jnp.concatenate(
                 [seven_body[:3], z_body, seven_body[3:6], seven_body[6:7]]
@@ -626,18 +631,16 @@ class ShardedProver:
             nine_tail = jnp.concatenate(
                 [seven_tail[:3], z_tail, seven_tail[3:6], seven_tail[6:7]]
             )
-            q_body, q_tail = _quotient_sharded(
+            return _quotient_sharded(
                 spec, st, q4, tables, nine_body, nine_tail,
                 q_scalars, q_weights, qblinders, axis,
             )
-            totals = commit(q_body, q_tail, powers_body, powers_tail, b3)
-            return q_body, q_tail, totals
 
         self._qr = smap(
             qr,
-            (st_specs, q4_specs, tables_specs, *pw_specs,
+            (st_specs, q4_specs, tables_specs,
              body, rep, body, rep, rep, rep, rep),
-            (body, rep, rep),
+            (body, rep),
         )
 
         # round 5: batched evaluation at xi and omega*xi
@@ -652,11 +655,9 @@ class ShardedProver:
         )
 
         # round 5 tail as ONE program: linearization combine + BOTH batch
-        # openings (aw at xi over [r, 8 polys], saw at omega*xi over 4) +
-        # their W commits.  Merged to cut the XLA compile count (the lin
-        # scalars and eta are both known once the evals hit the transcript).
-        def opn(powers_body, powers_tail, b3,
-                lin_bodies, lin_tails, lin_scalars,
+        # openings (aw at xi over [r, 8 polys], saw at omega*xi over 4).
+        # The two W commitments run through the shared ``commit1``.
+        def opn(lin_bodies, lin_tails, lin_scalars,
                 aw_bodies, aw_tails, saw_bodies, saw_tails,
                 eta_aw, eta_saw, xi_pt, xi_inv, wxi_pt, wxi_inv):
             r_body = pops._tree_add(
@@ -673,23 +674,19 @@ class ShardedProver:
                 ft = pops._tree_add(
                     spec, fd.mul(spec, tails, eta_powers[:, None, :]), axis=0
                 )
-                qb, qt = pops.pdivide_by_linear(spec, fb, ft, pt, pt_inv, axis)
-                return pops.pcommit_totals(
-                    fq_spec, b3, powers_body, powers_tail, qb, qt, fr_bits,
-                    c=msm_c, axis_name=axis, groups=msm_groups,
-                )
+                return pops.pdivide_by_linear(spec, fb, ft, pt, pt_inv, axis)
 
             aw_b = jnp.concatenate([r_body[None], aw_bodies])
             aw_t = jnp.concatenate([r_tail[None], aw_tails])
-            t_aw = fold_open(aw_b, aw_t, eta_aw, xi_pt, xi_inv)
-            t_saw = fold_open(saw_bodies, saw_tails, eta_saw, wxi_pt, wxi_inv)
-            return jnp.stack([t_aw, t_saw])
+            aw_qb, aw_qt = fold_open(aw_b, aw_t, eta_aw, xi_pt, xi_inv)
+            saw_qb, saw_qt = fold_open(saw_bodies, saw_tails, eta_saw, wxi_pt, wxi_inv)
+            return (jnp.stack([aw_qb, saw_qb]), jnp.stack([aw_qt, saw_qt]))
 
         self._opn = smap(
             opn,
-            (*pw_specs, body, rep, rep, body, rep, body, rep,
+            (body, rep, rep, body, rep, body, rep,
              rep, rep, rep, rep, rep, rep),
-            rep,
+            (body, rep),
         )
 
     # -- static staging --------------------------------------------------
@@ -734,6 +731,28 @@ class ShardedProver:
             for i in range(arr.shape[0])
         ]
 
+    def _commit_many(self, bodies, tails) -> list:
+        """Commit B (body, tail) pairs through the ONE shared executable.
+
+        bodies: (B, m_global, L) with the poly axis sharded; tails:
+        (B, 4, L) replicated.  Dispatches B calls (device work dominates
+        dispatch at any real size), folds window totals on the host.
+
+        Every argument is device_put to its canonical sharding so all B
+        calls (and the dryrun's precompile dummies) hit ONE executable —
+        sliced arrays otherwise carry derived shardings that fork the jit
+        cache key.
+        """
+        totals = [
+            self._commit1(
+                self._pwb, self._pwt, self._b3,
+                jax.device_put(bodies[i], self._sh_row),
+                jax.device_put(tails[i], self._rep),
+            )
+            for i in range(bodies.shape[0])
+        ]
+        return self._fold_totals(jnp.stack(totals))
+
     def prove(self, composer, transcript, rng):
         """Bit-identical to ``Prover.prove`` over the mesh."""
         from ..cs.composer import K1, K2
@@ -769,11 +788,10 @@ class ShardedProver:
         ))
         bl_abc = put(_blinders(spec, rng, p, [2, 2, 2]))
         bl_th = put(_blinders(spec, rng, p, [0, 3, 2]))
-        seven_body, seven_tail, totals6 = self._r12(
-            self._st, self._pwb, self._pwt, self._b3, wires, th, pi_evals,
-            bl_abc, bl_th,
+        seven_body, seven_tail = self._r12(
+            self._st, wires, th, pi_evals, bl_abc, bl_th,
         )
-        aff6 = self._fold_totals(totals6)  # [a, b, c, t, h1, h2]
+        aff6 = self._commit_many(seven_body[:6], seven_tail[:6])  # a,b,c,t,h1,h2
         transcript.append_commitment("a_commit", aff6[0])
         transcript.append_commitment("b_commit", aff6[1])
         transcript.append_commitment("c_commit", aff6[2])
@@ -795,11 +813,12 @@ class ShardedProver:
         ))
         bl_z = put(_blinders(spec, rng, p, [3, 3]))
         f_dev = put_r(jnp.asarray(ints_to_array(f_ints, spec.n_limbs)))
-        z_body, z_tail, totals2 = self._zr(
-            self._st, self._tables, self._pwb, self._pwt, self._b3,
-            wires, f_dev, th[0], th[1], th[2], z_scalars, bl_z,
+        z_body, z_tail = self._zr(
+            self._st, self._tables,
+            wires, f_dev, put_r(th[0]), put_r(th[1]), put_r(th[2]),
+            z_scalars, bl_z,
         )
-        aff2 = self._fold_totals(totals2)
+        aff2 = self._commit_many(z_body, z_tail)
         transcript.append_commitment("z1_commit", aff2[0])
         transcript.append_commitment("z2_commit", aff2[1])
 
@@ -817,12 +836,12 @@ class ShardedProver:
              a3 * a2 % p],
         ))
         qblinders = put(_enc_vec(spec, [rng.randrange(p), rng.randrange(p)]))
-        q_body, q_tail, totals3 = self._qr(
-            self._st, self._q4, self._tables, self._pwb, self._pwt, self._b3,
-            seven_body, seven_tail, z_body, z_tail,
+        q_body, q_tail = self._qr(
+            self._st, self._q4, self._tables,
+            put_b(seven_body), put(seven_tail), put_b(z_body), put(z_tail),
             q_scalars, q_weights, qblinders,
         )
-        aff3 = self._fold_totals(totals3)
+        aff3 = self._commit_many(q_body, q_tail)
         transcript.append_commitment("q_lo_commit", aff3[0])
         transcript.append_commitment("q_mid_commit", aff3[1])
         transcript.append_commitment("q_hi_commit", aff3[2])
@@ -887,8 +906,7 @@ class ShardedProver:
         saw_b = jnp.stack([z_body[0], z_body[1], seven_body[3], seven_body[4]])
         saw_t = jnp.stack([z_tail[0], z_tail[1], seven_tail[3], seven_tail[4]])
 
-        totals_open = self._opn(
-            self._pwb, self._pwt, self._b3,
+        open_bodies, open_tails = self._opn(
             put_b(lb), put(lt_), put(_enc_vec(spec, scalars)),
             put_b(aw_rest_b), put(aw_rest_t), put_b(saw_b), put(saw_t),
             put(_powers_arr(spec, eta, 9, p)), put(_powers_arr(spec, eta, 4, p)),
@@ -897,7 +915,7 @@ class ShardedProver:
             put(_enc_vec(spec, [wxi])[0]),
             put(_enc_vec(spec, [pow(wxi, -1, p)])[0]),
         )
-        aw_aff, saw_aff = self._fold_totals(totals_open)
+        aw_aff, saw_aff = self._commit_many(open_bodies, open_tails)
 
         return Proof(
             a_commit=aff6[0], b_commit=aff6[1], c_commit=aff6[2],
