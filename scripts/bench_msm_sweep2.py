@@ -22,6 +22,7 @@ def sync(x):
 def main():
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 14
     cs = [int(c) for c in sys.argv[2].split(",")] if len(sys.argv) > 2 else [6, 8, 10, 12]
+    gs = [int(g) for g in sys.argv[3].split(",")] if len(sys.argv) > 3 else [16, 32, 64]
     n = 1 << log_n
 
     from zkt_plonk_tpu.curves import make_context
@@ -59,7 +60,7 @@ def main():
 
     fr_bits = fr.modulus.bit_length()
     for c in cs:
-        for G in (16, 32, 64):
+        for G in gs:
             f = jax.jit(
                 lambda pts, sc, b, c=c, G=G: msm.msm_totals(
                     fq_spec, b, pts, sc, fr_bits, c=c, groups=G

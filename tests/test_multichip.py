@@ -255,7 +255,7 @@ def test_sharded_fused_core_parity(mesh):
     import __graft_entry__ as ge
     from zkt_plonk_tpu.parallel.prover import ShardedProverCore
 
-    prover, args = ge._build_tiny_prover(table_size=64)
+    prover, args, _ = ge._build_tiny_prover(table_size=64)
     n = prover.n
     assert n == 64
 
@@ -419,7 +419,7 @@ def test_sharded_fused_core_parity_large(mesh):
     import __graft_entry__ as ge
     from zkt_plonk_tpu.parallel.prover import ShardedProverCore
 
-    prover, args = ge._build_tiny_prover(table_size=1023)
+    prover, args, _ = ge._build_tiny_prover(table_size=1023)
     n = prover.n
     assert n == 1024
 
