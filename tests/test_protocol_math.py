@@ -32,7 +32,7 @@ from zkt_plonk_tpu.proof_system.prover import _blinders, _enc_vec
 
 @pytest.fixture(scope="module")
 def tiny():
-    prover, args = ge._build_tiny_prover()
+    prover, args, _ = ge._build_tiny_prover()
     return prover, args
 
 

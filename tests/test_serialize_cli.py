@@ -73,6 +73,7 @@ def test_cli_full_withdraw_flow(tmp_path, capsys):
     paths = {
         "ck": f"{d}/ck", "cvk": f"{d}/cvk", "pk": f"{d}/pk", "vk": f"{d}/vk",
         "tree": f"{d}/tree", "notes": f"{d}/notes", "proof": f"{d}/proof",
+        "epk": f"{d}/epk",
     }
     # width 4: the leaf hash takes 3 inputs (identifier, amount, commitment)
     base = ["--height", "4", "--note-inputs", "1", "--table-size", "8",
@@ -81,7 +82,8 @@ def test_cli_full_withdraw_flow(tmp_path, capsys):
 
     cli_main(base + ["compile", "-d", str(1 << 16),
                      "--ck", paths["ck"], "--cvk", paths["cvk"],
-                     "--pk", paths["pk"], "--vk", paths["vk"]])
+                     "--pk", paths["pk"], "--vk", paths["vk"],
+                     "--epk", paths["epk"]])
     cli_main(base + ["init-store", "-t", paths["tree"], "-n", paths["notes"]])
     cli_main(base + ["deposit", "-t", paths["tree"], "-n", paths["notes"],
                      "-i", addr, "-a", "500"])
@@ -90,7 +92,7 @@ def test_cli_full_withdraw_flow(tmp_path, capsys):
     cli_main(base + [
         "prove-withdraw",
         "--ck", paths["ck"], "--cvk", paths["cvk"],
-        "--pk", paths["pk"], "--vk", paths["vk"],
+        "--pk", paths["pk"], "--vk", paths["vk"], "--epk", paths["epk"],
         "-t", paths["tree"], "-n", paths["notes"],
         "-x", "0", "-s", addr, "-i", addr, "-a", "120",
         "--seed", "42", "--proof-out", paths["proof"],

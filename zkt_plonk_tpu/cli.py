@@ -64,7 +64,8 @@ def cmd_compile(args, cfg: InstanceConfig):
     compiled = instance.compile(_default_circuit(cfg), ck, cvk)
     print(f"compiled: n = {compiled.vk.n} ({time.time() - t0:.1f}s)")
 
-    os.makedirs(os.path.dirname(args.ck) or ".", exist_ok=True)
+    for out in (args.ck, args.cvk, args.pk, args.vk, args.epk):
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     ser.save_committer_key(args.ck, compiled.ck)
     ser.save_kzg_vk(args.cvk, compiled.cvk)
     ser.save_prover_key(args.pk, compiled.pk)
