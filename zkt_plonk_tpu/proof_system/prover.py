@@ -384,14 +384,9 @@ class Prover:
             a_ints, b_ints, c_ints = composer.wire_evals()
         wires = self._stage_stack([a_ints, b_ints, c_ints])
         wire_blinders = _blinders(spec, rng, p, [2, 2, 2])
-        with section("round1 commit a/b/c"):
-            abc_polys = self._commit_batch(plan, wires, wire_blinders)
-            abc_aff = self.committer.commit_many(abc_polys)
-        transcript.append_commitment("a_commit", abc_aff[0])
-        transcript.append_commitment("b_commit", abc_aff[1])
-        transcript.append_commitment("c_commit", abc_aff[2])
 
-        # --- round 2: lookup polynomials ------------------------------
+        # --- round 2 witness (independent of round-1 results: the first
+        # challenges are drawn only AFTER t/h1/h2 commit, ``prove.rs``) --
         t_ints = self._t_ints
         ql = self.epk.q_lookup_evals_host
         f_ints = [(ql[i] * c_ints[i]) % p for i in range(n)]
@@ -403,9 +398,22 @@ class Prover:
             [self._t_dev[None], self._stage_stack([h1_ints, h2_ints])]
         )
         lookup_blinders = _blinders(spec, rng, p, [0, 3, 2])
-        with section("round2 commit t/h1/h2"):
-            th_polys = self._commit_batch(plan, lookup_evals, lookup_blinders)
-            th_aff = self.committer.commit_many(th_polys)
+
+        # rounds 1+2 as ONE device phase: 6-poly ifft batch + 6-MSM batch
+        # (one dispatch + one device_get round-trip instead of two — the
+        # transcript appends stay in reference order)
+        with section("round1+2 commit a/b/c/t/h1/h2"):
+            six_polys = self._commit_batch(
+                plan,
+                jnp.concatenate([wires, lookup_evals]),
+                jnp.concatenate([wire_blinders, lookup_blinders]),
+            )
+            six_aff = self.committer.commit_many(six_polys)
+        abc_polys, th_polys = six_polys[:3], six_polys[3:]
+        abc_aff, th_aff = six_aff[:3], six_aff[3:]
+        transcript.append_commitment("a_commit", abc_aff[0])
+        transcript.append_commitment("b_commit", abc_aff[1])
+        transcript.append_commitment("c_commit", abc_aff[2])
         transcript.append_commitment("t_commit", th_aff[0])
         transcript.append_commitment("h1_commit", th_aff[1])
         transcript.append_commitment("h2_commit", th_aff[2])
