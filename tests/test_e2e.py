@@ -180,3 +180,47 @@ def test_merlin_transcript_e2e(srs):
     instance.verify(compiled, proof, [10, 2])
     with pytest.raises((VerificationError, AssertionError)):
         instance.verify(compiled, proof, [11, 2])
+
+
+def test_proof_bytes_golden_snapshot():
+    """Frozen ark-serialize proof bytes for a fixed (circuit, SRS, seed).
+
+    DETERMINISTIC-BLINDER MODE makes the proof a pure function of
+    (keys, witness, seed) — this pins the whole pipeline (gate emission,
+    sigma walk, 5 rounds, openings, serialization) against accidental
+    drift.  If a DELIBERATE protocol/format change lands, regenerate with
+    the snippet in the assertion message.
+    """
+    import hashlib
+    import random
+
+    from zkt_plonk_tpu.utils import arkserde
+
+    table = LookupTable([1, 2, 5], size=63)
+    inst = ZKTPlonk(curve="bn254", table=table)
+
+    class TinyCircuit:
+        def synthesize(self, cs):
+            a = cs.assign_variable(2)
+            b = cs.assign_variable(3)
+            c = cs.mul_gate(lt(a), lt(b))
+            d = cs.add_gate(lt(c), lt(a))
+            cs.set_variable_public(lt(d))
+            cs.lookup_constrain(lt(a))
+
+    ck, cvk = kzg.setup(inst.ctx, max_degree=4 * 64, tau=123456789)
+    compiled = inst.compile(TinyCircuit(), ck, cvk)
+    proof = inst.prove(compiled, TinyCircuit(), rng=random.Random(9))
+    inst.verify(compiled, proof, [8])
+    blob = arkserde.proof_to_bytes(
+        proof, inst.ctx.curve.fq.modulus, inst.ctx.curve.fr.modulus
+    )
+    assert len(blob) == 802
+    digest = hashlib.sha256(blob).hexdigest()
+    assert digest == (
+        "504e1dbfaa28af3d1e9da112bbb4329374e06669416c39ec1fc8015df71d3cba"
+    ), (
+        "proof bytes drifted — if the change is deliberate, regenerate "
+        "the digest: sha256 of arkserde.proof_to_bytes for TinyCircuit "
+        f"(tau=123456789, seed=9); got {digest}"
+    )
