@@ -202,16 +202,18 @@ def micro_benches(detail, floor, deadline):
     if time.time() > deadline:
         return
 
-    # --- NTT 2^14 (default TPU path) -------------------------------------
+    # --- NTT 2^14 (default TPU path; 8 chained transforms in ONE jit so
+    # the measurement stays above the relay-floor variance) --------------
     n_ntt = 1 << 14
     dom = make_domain(BN254_FR, n_ntt)
     coeffs = jnp.asarray(np.tile(
         ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs),
         (n_ntt // 1024, 1)))
     plan = dom.plan_device()
-    fftf = jax.jit(lambda pl, c: ntt.fft(dom.spec, pl, c))
+    fftf = jax.jit(lambda pl, c: jax.lax.fori_loop(
+        0, 8, lambda i, x: ntt.fft(dom.spec, pl, x), c))
     sync(fftf(plan, coeffs))
-    ntt_time = median_time(lambda: fftf(plan, coeffs), reps=7, floor=floor)
+    ntt_time = median_time(lambda: fftf(plan, coeffs), reps=7, inner=8, floor=floor)
     detail["ntt_2e14_ms"] = round(ntt_time * 1e3, 2)
     log(f"NTT 2^14: {ntt_time*1e3:.2f} ms -> {1/ntt_time:.1f} NTT/s")
     if time.time() > deadline:
