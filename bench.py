@@ -71,11 +71,11 @@ def relay_floor():
     return statistics.median(ts)
 
 
-def run_withdraw(detail, deadline):
+def run_withdraw(detail, deadline, state):
     """Headline path: load-or-build keys, prove, verify.  Returns the
-    metric dict or None on failure/timeout-risk."""
-    import jax
-
+    metric dict or None on failure/timeout-risk.  Progress lands in
+    ``state["line"]`` as soon as the COLD prove finishes so a watchdog
+    bail mid-warm-up still reports a real withdraw number."""
     from zkt_plonk_tpu.commitment import kzg
     from zkt_plonk_tpu.plonk import CompiledCircuit, ZKTPlonk
     from zkt_plonk_tpu.utils import serialize as ser
@@ -148,6 +148,14 @@ def run_withdraw(detail, deadline):
     proof = inst.prove(compiled, circuit, rng=prng)
     cold = time.perf_counter() - t0
     log(f"prove (cold, incl jit): {cold:.1f}s")
+    state["line"] = {
+        "metric": "withdraw_proofs_per_s",
+        "value": round(1.0 / cold, 4),
+        "unit": "proofs/s/chip",
+        "vs_baseline": None,
+        "detail": dict(detail, withdraw_prove_cold_s=round(cold, 1),
+                       note="cold-only (watchdog fired before warm trials)"),
+    }
     times = []
     while len(times) < 2 and (not times or time.time() + times[0] < deadline):
         t0 = time.perf_counter()
@@ -290,7 +298,7 @@ def main():
     quick = os.environ.get("ZKT_BENCH_QUICK", "0") == "1"
     if not quick:
         try:
-            line = run_withdraw(detail, deadline)
+            line = run_withdraw(detail, deadline, state)
         except Exception as e:  # pragma: no cover — cold-machine safety net
             log(f"withdraw headline failed: {type(e).__name__}: {e}")
             line = None

@@ -64,7 +64,10 @@ def cmd_compile(args, cfg: InstanceConfig):
     compiled = instance.compile(_default_circuit(cfg), ck, cvk)
     print(f"compiled: n = {compiled.vk.n} ({time.time() - t0:.1f}s)")
 
-    for out in (args.ck, args.cvk, args.pk, args.vk, args.epk):
+    outs = [args.ck, args.cvk, args.pk, args.vk]
+    if not args.no_epk:
+        outs.append(args.epk)
+    for out in outs:
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     ser.save_committer_key(args.ck, compiled.ck)
     ser.save_kzg_vk(args.cvk, compiled.cvk)

@@ -284,24 +284,18 @@ def _ec_masked_scan(fq_spec, b3, x, axis: int, reverse: bool = False):
 def _reduce_buckets(fq_spec, b3, buckets):
     """(W, G, K, 3, L) group buckets -> (W, 3, L) weighted totals Σ k·B_k.
 
-    Three fixed-shape masked scans (one traced EC add each): groups merge
-    with a prefix scan over G (total lands at index G-1), then the
-    weighted sum Σ_{k>=1} k·B_k = Σ_{k>=1} SS_k with SS the suffix scan
-    over buckets — evaluated by a second suffix scan (its element 1).
-    The k = 0 bucket has weight 0, so its junk (padding) never
-    contributes.
+    Groups merge by pairwise halving (`_tree_reduce_points`: G-1 runtime
+    EC adds, log2(G) traced adds of HALVING shapes — cheaper on both
+    axes than a scan, which does G·log2(G) full-tensor adds for a total
+    we only need at one index).  The weighted sum Σ_{k>=1} k·B_k =
+    Σ_{k>=1} SS_k with SS the suffix scan over buckets — evaluated by a
+    second fixed-shape masked suffix scan (its element 1).  The k = 0
+    bucket has weight 0, so its junk (padding) never contributes.
     """
-    G = buckets.shape[1]
-    merged = _ec_masked_scan(fq_spec, b3, buckets, axis=1)
-    B = merged[:, G - 1]  # (W, K, 3, L)
+    B = _tree_reduce_points(fq_spec, b3, buckets, axis=1)  # (W, K, 3, L)
     SS = _ec_masked_scan(fq_spec, b3, B, axis=1, reverse=True)
     T = _ec_masked_scan(fq_spec, b3, SS, axis=1, reverse=True)
     return T[:, 1]
-
-
-def identity_like(fq_spec, pts):
-    """Identity points with the shape/sharding type of ``pts[..., :]``."""
-    return ec.identity(fq_spec, pts.shape[:-2]) + jnp.zeros_like(pts)
 
 
 def _fold_windows(fq_spec, b3, totals, c):

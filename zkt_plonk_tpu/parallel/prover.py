@@ -770,22 +770,20 @@ class ShardedProver:
         put = lambda x: jax.device_put(x, self._rep)
 
         # --- round 1 + 2 ----------------------------------------------
+        # witness staging rides the single-chip prover's uint16 path
+        # (device-side widen) before resharding onto the mesh
         a_ints, b_ints, c_ints = composer.wire_evals()
-        wires = put_b(jnp.asarray(np.stack(
-            [ints_to_array(col, spec.n_limbs) for col in (a_ints, b_ints, c_ints)]
-        )))
-        t_ints = prover.table.into_multiset(n)
+        wires = put_b(prover._stage_stack([a_ints, b_ints, c_ints]))
+        t_ints = prover._t_ints
         ql = prover.epk.q_lookup_evals_host
         f_ints = [(ql[i] * c_ints[i]) % p for i in range(n)]
         h1_ints, h2_ints = combine_split(t_ints, f_ints)
         h1_ints += [0] * (n - len(h1_ints))
         h2_ints += [0] * (n - len(h2_ints))
-        th = put_b(jnp.asarray(np.stack(
-            [ints_to_array(col, spec.n_limbs) for col in (t_ints, h1_ints, h2_ints)]
-        )))
-        pi_evals = put_r(jnp.asarray(
-            ints_to_array(composer.pi_as_evals(n), spec.n_limbs)
+        th = put_b(jnp.concatenate(
+            [prover._t_dev[None], prover._stage_stack([h1_ints, h2_ints])]
         ))
+        pi_evals = put_r(prover._stage_rows(composer.pi_as_evals(n)))
         bl_abc = put(_blinders(spec, rng, p, [2, 2, 2]))
         bl_th = put(_blinders(spec, rng, p, [0, 3, 2]))
         seven_body, seven_tail = self._r12(
@@ -812,7 +810,7 @@ class ShardedProver:
              (1 + delta) % p, epsilon],
         ))
         bl_z = put(_blinders(spec, rng, p, [3, 3]))
-        f_dev = put_r(jnp.asarray(ints_to_array(f_ints, spec.n_limbs)))
+        f_dev = put_r(prover._stage_rows(f_ints))
         z_body, z_tail = self._zr(
             self._st, self._tables,
             wires, f_dev, put_r(th[0]), put_r(th[1]), put_r(th[2]),
