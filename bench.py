@@ -83,24 +83,14 @@ def run_withdraw(detail, deadline, state):
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from bench_withdraw import build
 
-    height, notes = 48, 3
-    circuit, table, pub_inputs = build(height, notes)
-    inst = ZKTPlonk(curve="bn254", table=table)
-    p = inst.ctx.curve.fr.modulus
-
     # --- key checkpoint: SRS + compiled keys persist across runs ---------
     # (the reference's checkpoint system, ``bin/src/parser.rs:5-23``;
     # here it also keeps the driver bench inside its budget: SRS gen +
     # circuit compile cost ~450 s cold through the axon relay)
-    key_dir = os.path.join(
-        os.path.expanduser("~/.cache/zkt_plonk_tpu"),
-        f"bench_keys_v1_h{height}n{notes}",
-    )
-    paths = {k: os.path.join(key_dir, k) for k in ("ck", "pk", "vk", "cvk", "epk")}
-    have_keys = all(
-        os.path.exists(paths[k] + (".npz" if k in ("ck", "pk", "epk") else ""))
-        for k in paths
-    )
+    height, notes, key_dir, paths, have_keys = bench_key_paths()
+    circuit, table, pub_inputs = build(height, notes)
+    inst = ZKTPlonk(curve="bn254", table=table)
+    p = inst.ctx.curve.fr.modulus
     if have_keys:
         t0 = time.perf_counter()
         compiled = CompiledCircuit(
@@ -177,22 +167,33 @@ def run_withdraw(detail, deadline, state):
     }
 
 
-def micro_benches(detail, floor, deadline):
-    """Informational microbenches (run AFTER the headline is printed)."""
+def bench_key_paths():
+    """Key-checkpoint location + existence for the headline instance."""
+    height, notes = 48, 3
+    key_dir = os.path.join(
+        os.path.expanduser("~/.cache/zkt_plonk_tpu"),
+        f"bench_keys_v1_h{height}n{notes}",
+    )
+    paths = {k: os.path.join(key_dir, k) for k in ("ck", "pk", "vk", "cvk", "epk")}
+    have = all(
+        os.path.exists(paths[k] + (".npz" if k in ("ck", "pk", "epk") else ""))
+        for k in paths
+    )
+    return height, notes, key_dir, paths, have
+
+
+def field_mul_bench(detail, floor):
+    """Field-mul throughput (10 chained muls in ONE jit); ~1 min cold."""
     import jax
     import jax.numpy as jnp
 
     from zkt_plonk_tpu.fields import BN254_FR, make_spec
     from zkt_plonk_tpu.fields import device as fd
     from zkt_plonk_tpu.fields.limbs import ints_to_array
-    from zkt_plonk_tpu.ops import ntt
-    from zkt_plonk_tpu.utils.domain import make_domain
 
     spec = make_spec(BN254_FR)
     p = spec.modulus
     rng = random.Random(0)
-
-    # --- field mul throughput (10 chained muls in ONE jit) ---------------
     n = 1 << 20
     base = ints_to_array([rng.randrange(p) for _ in range(1024)], spec.n_limbs)
     A = jnp.asarray(np.tile(base, (n // 1024, 1)))
@@ -207,6 +208,25 @@ def micro_benches(detail, floor, deadline):
     mul_rate = n / t
     detail["field_mul_G_per_s"] = round(mul_rate / 1e9, 3)
     log(f"field mul 2^20: {mul_rate/1e9:.3f} G/s")
+    return mul_rate
+
+
+def micro_benches(detail, floor, deadline):
+    """Informational microbenches (run AFTER the headline is printed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zkt_plonk_tpu.fields import BN254_FR, make_spec
+    from zkt_plonk_tpu.fields.limbs import ints_to_array
+    from zkt_plonk_tpu.ops import ntt
+    from zkt_plonk_tpu.utils.domain import make_domain
+
+    spec = make_spec(BN254_FR)
+    p = spec.modulus
+    rng = random.Random(0)
+
+    if "field_mul_G_per_s" not in detail:  # may be pre-banked on cold boxes
+        field_mul_bench(detail, floor)
     if time.time() > deadline:
         return
 
@@ -297,6 +317,27 @@ def main():
     # --- headline FIRST ---------------------------------------------------
     quick = os.environ.get("ZKT_BENCH_QUICK", "0") == "1"
     if not quick:
+        # Fully cold box (no key checkpoint): the withdraw build alone can
+        # exceed the budget (measured: synth+SRS+compile+checkpoint ~460 s
+        # plus a ~500 s cold prove on a contended 2-core host).  Bank a
+        # REAL metric first (~1 min) so a watchdog bail mid-build reports a
+        # measurement instead of `bench_incomplete`.
+        if not bench_key_paths()[4]:
+            try:
+                rate = field_mul_bench(detail, floor)
+                state["line"] = {
+                    "metric": "field_mul_G_per_s",
+                    "value": round(rate / 1e9, 3),
+                    "unit": "Gmul/s/chip",
+                    "vs_baseline": None,
+                    "detail": dict(
+                        detail,
+                        note="cold-machine floor metric; withdraw build "
+                             "did not finish inside the budget",
+                    ),
+                }
+            except Exception as e:  # pragma: no cover
+                log(f"floor metric failed: {type(e).__name__}: {e}")
         try:
             line = run_withdraw(detail, deadline, state)
         except Exception as e:  # pragma: no cover — cold-machine safety net
